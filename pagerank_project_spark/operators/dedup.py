@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all over the ``documents`` table:
+
+- **exact**: group by md5 of normalized text (portable to DuckDB → exact
+  oracle). Canonical doc = min doc_id per group.
+- **n-gram Jaccard**: exact pairwise similarity on distinct word-3-gram
+  shingle sets via explode + self-join on shingle (SQL-expressible in
+  DuckDB → exact oracle). This is the brute-force verifier; its shuffle
+  is O(Σ postings²) per shingle, so at scale it runs AFTER candidate
+  pruning, not instead of it.
+- **MinHash + LSH**: shingle → 64-perm MinHash signature (pure Catalyst:
+  xxhash64 + universal-hash transforms + array_min — no UDFs) → banding
+  (B bands × R rows, band key = hash of signature slice) → candidate
+  pairs via per-band bucket self-join → exact-Jaccard rerank. The scale
+  path: candidate generation touches only colliding docs; bucket
+  skew is bounded by band width. Signature math is engine-side only
+  (xxhash64 isn't portable) → pytest oracle checks containment +
+  recall vs the exact pairs, and the rerank stage guarantees precision.
+- **SimHash**: 64-bit fingerprint via vectorized Pandas UDF (numpy bit
+  ops over token-hash arrays — the sanctioned Arrow slow path), near-dup
+  = Hamming ≤ k via 4×16-bit band blocking, exact Hamming verify.
+
+Weighting note: signatures use DISTINCT shingles (set semantics), like
+the reference treats a page's link set relationally rather than by
+multiplicity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def shingles(text, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (array)."""
+    from pagerank_project_spark.operators.textstats import normalized_text
+
+    toks = F.split(normalized_text(text), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (fp, n_docs, canonical_id) per duplicate group (n_docs ≥ 2)."""
+    from pagerank_project_spark.operators.textstats import fingerprint
+
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (brute force / verifier)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+    → (a, b, jaccard) with jaccard rounded to 6 dp (oracle-hash friendly)."""
+    sh = docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa")), "a")
+        .join(F.broadcast(sizes.withColumnRenamed("_id", "b").withColumnRenamed("sz", "sb")), "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, sig: array<long>[num_perm]). Pure Catalyst: shingle →
+    xxhash64 → per-permutation universal hash (a·h+b mod 2⁶¹−1) → min."""
+    hashes = F.transform(shingles(F.col(text_col), n), lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P)
+    doc = docs.select(F.col(id_col), hashes.alias("hs"))
+    mins = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h, _a=a, _b=b: (h * _a + _b) % MERSENNE_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    return doc.select(id_col, F.array(*mins).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via LSH banding, reranked by EXACT Jaccard.
+
+    rows-per-band r = num_perm // bands; collision prob at similarity s is
+    1-(1-s^r)^bands (S-curve). Output ⊆ ngram_jaccard_pairs(threshold);
+    recall < 1 is inherent to LSH (asserted ≥0.9 on fixtures in tests).
+    → (a, b, jaccard)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    band_rows = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1) for j in range(r)])).alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "bh"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    # exact-Jaccard rerank of candidates only
+    sh = docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sa"))), "a")
+        .join(F.broadcast(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("sb"))), "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit SimHash per doc from its token-hash array (numpy bit ops)."""
+    for pdf in batches:
+        out = np.zeros(len(pdf), dtype=np.int64)
+        for i, hs in enumerate(pdf["hs"]):
+            h = np.asarray(hs, dtype=np.uint64)
+            if h.size == 0:
+                continue
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+            out[i] = np.int64(np.uint64((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out})
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, simhash: long). Token hashes computed engine-side
+    (xxhash64); the bit-vote reduction is an Arrow-batched numpy kernel."""
+    from pagerank_project_spark.operators.textstats import normalized_text
+
+    toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+    )
+    return hashed.mapInPandas(_simhash_batches, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked on
+    4×16-bit bands (any equal band → candidate; exact for max_hamming ≤ 3
+    by pigeonhole). → (a, b, hamming)."""
+    fp = simhash_fingerprints(docs, **kw)
+    bands = fp.select(
+        F.col("doc_id").alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), F.shiftrightunsigned("simhash", 16 * bi).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+                for bi in range(4)
+            ])
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.bh")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("a"),
+            F.col("y._id").alias("b"),
+            F.col("x.simhash").alias("fa"),
+            F.col("y.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata.
+
+The container has no image/audio libraries, so the *decode* kernels are
+stubbed exactly as the driver brief specifies: a clearly-marked
+``NotImplementedError`` real path plus a deterministic fake decoder used
+by tests. Everything Spark-side is real and tested: schemas, Arrow batch
+shape, ``mapInPandas`` signatures, partitioning.
+
+Blob layout convention: media rows are ``(media_id: long, kind: string,
+meta: struct<width int, height int, channels int, sample_rate int,
+n_frames int>, data: binary)``. The deterministic fake "decoder" reads
+the blob bytes as a seeded byte stream — so feature values are stable
+across runs/partitionings and assertable in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+USE_REAL_DECODERS = False  # flip when PIL/av are present in the image
+
+
+def _real_decode_image(data: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv — not in this container; "
+        "deterministic fake decoder used instead (USE_REAL_DECODERS=False)"
+    )
+
+
+def _fake_decode_image(data: bytes, meta) -> np.ndarray:
+    """Deterministic stand-in: pixels = repeating blob bytes reshaped to
+    (h, w, c). Stable for tests regardless of partitioning."""
+    h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+    need = h * w * c
+    buf = np.frombuffer(data, dtype=np.uint8)
+    reps = int(np.ceil(need / max(len(buf), 1)))
+    return np.tile(buf, reps)[:need].reshape(h, w, c)
+
+
+FEATURES_SCHEMA = "media_id long, mean_px double, std_px double, p_hash string"
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode → per-image mean/std pixel value + a perceptual-hash-shaped
+    fingerprint (md5 of the 8×8 downsample's bit pattern). Arrow-batched;
+    numpy only inside the kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, stds, hashes = [], [], [], []
+            for _, row in pdf.iterrows():
+                px = (
+                    _real_decode_image(row["data"])
+                    if USE_REAL_DECODERS
+                    else _fake_decode_image(row["data"], row["meta"])
+                )
+                g = px.mean(axis=2)
+                ys = np.linspace(0, g.shape[0] - 1, 8).astype(int)
+                xs = np.linspace(0, g.shape[1] - 1, 8).astype(int)
+                thumb = g[np.ix_(ys, xs)]
+                bits = (thumb > thumb.mean()).astype(np.uint8)
+                ids.append(row["media_id"])
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+                hashes.append(hashlib.md5(bits.tobytes()).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "mean_px": means, "std_px": stds, "p_hash": hashes})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_mean double"
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every n-th frame of video blobs → one output row per sampled
+    frame (frame = fake-decoded slice of the blob)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_mean = [], [], []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                nf = int(meta["n_frames"] or 0)
+                frame_px = int(meta["height"]) * int(meta["width"]) * int(meta["channels"])
+                buf = np.frombuffer(row["data"], dtype=np.uint8)
+                for fi in range(0, nf, every_n):
+                    start = (fi * frame_px) % max(len(buf), 1)
+                    frame = np.tile(buf, 2)[start : start + frame_px]
+                    out_id.append(row["media_id"])
+                    out_idx.append(fi)
+                    out_mean.append(float(frame.mean()) if frame.size else 0.0)
+            yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame_mean": out_mean})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def synthesize_media(spark: SparkSession, n: int = 24, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table for tests (blob = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "video", "audio"][i % 3]
+        h, w, c = int(rng.integers(8, 32)), int(rng.integers(8, 32)), 3
+        nf = int(rng.integers(5, 40)) if kind == "video" else 0
+        sr = 16000 if kind == "audio" else 0
+        data = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        rows.append((i, kind, (w, h, c, sr, nf), bytearray(data)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

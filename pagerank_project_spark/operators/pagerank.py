@@ -1,0 +1,268 @@
+"""Damped, personalized PageRank by power iteration — Spark-first.
+
+Semantics replicate the reference's ``power_method`` + ``WebGraph``
+(reference: pagerank.py:100-139, :18-68 — see SURVEY.md §2.1/§2.2), with
+the normalization mode parameterized (SURVEY.md §5.2): per-iteration
+``x``-norm ∈ {l1, l2} and one-shot ``v``-norm ∈ {l1, l2}. ``reference``
+mode = (l1, l2), the committed-code semantics.
+
+Architecture (SURVEY.md §3.3): the driver composes one DataFrame DAG per
+superstep; Catalyst/AQE pick the physical plan. Per iteration:
+
+  d  = Σ rank_i over dangling i                  (folded into prev stats)
+  q_i = (α·d + (1−α)) · v_i                      (expression)
+  x' = α · Pᵀx + q                               (join + groupBy-sum,
+                                                  zero-row preservation via
+                                                  left join + coalesce)
+  x' /= ‖x'‖                                     (scalar from stats action)
+  stop when ‖x'−x‖₂ < ε                          (decomposed: one agg row)
+
+Exactly ONE action per iteration in the hot loop: the residual
+``‖x'/s − x‖₂`` is decomposed as ``√(Σx'²/s² − 2Σx'x/s + Σx²)`` so norms,
+residual components, and the NEXT iteration's dangling mass all come back
+in a single aggregated row. L1 delta + active-vertex count (checkpoint
+metrics per BASELINE.json) come from a second agg over the same cached
+DataFrame only when checkpointing is enabled.
+
+Scale notes (100 TB / 1000-executor design):
+- the edge table is the sparse matrix (COO ≡ relational triple); it is
+  hash-repartitioned by ``src`` ONCE and persisted — iterations reuse the
+  partitioning, only the (|V|-sized) rank vector moves.
+- rank-vector join side: broadcast when |V| small enough (driver knows n),
+  else shuffle join co-partitioned with the persisted edges.
+- the groupBy(dst) scatter is shuffle-reduced (map-side partial agg), so a
+  high in-degree hub contributes one partial row per partition — skew-safe
+  without salting; AQE skew-join handles the join side (see
+  operators/superstep_csr.py for the explicitly salted CSR path).
+- lineage is truncated via localCheckpoint every ``local_checkpoint_every``
+  iterations (iterative-plan-growth failure mode, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pagerank_project_spark.config import PageRankConfig
+
+# broadcast the rank vector when |V| is below this (driver-known) bound
+BROADCAST_VERTEX_LIMIT = 20_000_000
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: string, rank: double)
+    iterations: int
+    residuals: list[float]
+    converged: bool
+    n_vertices: int
+    n_edges: int
+
+
+def build_vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Vertex universe: provided table (id) or distinct src ∪ dst."""
+    if vertices is not None:
+        return vertices.select("id").distinct()
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def apply_filter_ratio(edges: DataFrame, n_vertices: int, ratio: float) -> DataFrame:
+    """In-link-ratio spam filter (reference: pagerank.py:42-47).
+
+    Keep edge iff indeg(dst) < ratio·n, n = TOTAL vertex count (not the
+    post-filter count — reference computes it from the final dict size,
+    pagerank.py:45). Vertex set is unchanged (filtered nodes stay as
+    isolated vertices and still receive teleport mass).
+    Physical: broadcast the (≤|V|-row, 2-col) in-degree table.
+    """
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("_indeg"))
+    return (
+        edges.join(F.broadcast(indeg), "dst", "inner")
+        .filter(F.col("_indeg") < F.lit(float(ratio) * n_vertices))
+        .drop("_indeg")
+    )
+
+
+def weighted_edges(edges: DataFrame) -> DataFrame:
+    """Transition weights w = 1/outdeg(src) per edge (pagerank.py:50-61).
+
+    Parallel edges each carry 1/outdeg — their additive coalescing
+    (torch COO semantics, pagerank.py:63-67) falls out of the Σ in the
+    superstep. Broadcast the out-degree table (≤|V| rows).
+    """
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    return (
+        edges.join(F.broadcast(outdeg), "src", "inner")
+        .select("src", "dst", (F.lit(1.0) / F.col("_outdeg")).alias("w"))
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    cfg: PageRankConfig | None = None,
+    v_expr: Column | None = None,
+    checkpoint_store=None,
+) -> PageRankResult:
+    """Run PageRank over an edge table (src: string, dst: string).
+
+    v_expr: optional personalization indicator over the vertex ``id``
+    column (1.0/0.0), reference make_personalization_vector semantics
+    (pagerank.py:81-97). None → uniform.
+    checkpoint_store: optional plans.checkpoint.CheckpointStore — iteration
+    state + metrics written per superstep; pass a store with a populated
+    latest iteration to RESUME mid-run.
+    """
+    cfg = cfg or PageRankConfig()
+    sc = spark.sparkContext
+
+    verts = build_vertices(edges, vertices)
+    n = verts.count()
+    if n == 0:
+        raise ValueError("empty graph")
+
+    e = edges.select("src", "dst")
+    if cfg.filter_ratio is not None:
+        e = apply_filter_ratio(e, n, cfg.filter_ratio)
+
+    nparts = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ew = weighted_edges(e).repartition(nparts, "src").persist()
+    m = ew.count()  # materialize the partitioned, weighted edge table once
+
+    # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
+    dang = verts.join(ew.select("src").distinct(), verts.id == F.col("src"), "left_anti")
+    state = verts.join(dang.select(F.col("id").alias("_d")), verts.id == F.col("_d"), "left").select(
+        "id", F.when(F.col("_d").isNotNull(), 1.0).otherwise(0.0).alias("dang")
+    )
+
+    # personalization vector v (pagerank.py:81-97): L1-normalized indicator,
+    # then re-normalized by norm_v inside power_method (pagerank.py:93-95,:113)
+    if v_expr is not None:
+        state = state.withColumn("v_raw", F.when(v_expr, 1.0).otherwise(0.0).cast("double"))
+    else:
+        state = state.withColumn("v_raw", F.lit(1.0))
+    v_sums = state.agg(
+        F.sum("v_raw").alias("l1"), F.sqrt(F.sum(F.pow("v_raw", 2))).alias("l2")
+    ).first()
+    if not v_sums["l1"] or v_sums["l1"] <= 0:
+        raise AssertionError("personalization vector is all-zero (pagerank.py:94)")
+    v_l1 = v_sums["l1"]
+    # reference: v /= sum(v) (L1, :95) then v /= torch.norm(v) (L2, :113).
+    # norm_v selects the final normalization; composition: v_raw/l1 then /‖·‖.
+    v_after_l1_l2 = v_sums["l2"] / v_l1  # L2 norm of (v_raw / l1)
+    v_scale = 1.0 / (v_l1 * (v_after_l1_l2 if cfg.norm_v == "l2" else 1.0))
+
+    start_iter = 0
+    resumed = False
+    if checkpoint_store is not None:
+        latest = checkpoint_store.latest_iteration()
+        if latest is not None:
+            cur = checkpoint_store.read_state(spark, latest).select("id", "rank", "v", "dang")
+            start_iter = latest + 1
+            resumed = True
+    if not resumed:
+        # x0 = 1/√n, already L2-unit (pagerank.py:116-118)
+        cur = state.select(
+            "id",
+            F.lit(1.0 / math.sqrt(n)).alias("rank"),
+            (F.col("v_raw") * F.lit(v_scale)).alias("v"),
+            "dang",
+        )
+    cur = cur.repartition(nparts, "id").localCheckpoint(eager=True)
+
+    # initial dangling mass d = x·a (pagerank.py:125)
+    d = cur.agg(F.sum(F.col("rank") * F.col("dang"))).first()[0] or 0.0
+
+    alpha = cfg.alpha
+    residuals: list[float] = []
+    converged = False
+    it = start_iter
+
+    for it in range(start_iter, start_iter + cfg.max_iterations):
+        # SpMV gather-scatter: α·Pᵀx (pagerank.py:126-132)
+        rank_side = cur.select(F.col("id").alias("_src"), "rank")
+        if n <= BROADCAST_VERTEX_LIMIT:
+            rank_side = F.broadcast(rank_side)
+        contrib = (
+            ew.join(rank_side, ew.src == F.col("_src"), "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("contrib"))
+        )
+        tele = F.lit(alpha * d + (1.0 - alpha)) * F.col("v")  # q (pagerank.py:125)
+        # localCheckpoint EVERY iteration: materializes the superstep AND
+        # truncates lineage (the plan references the previous state several
+        # times → exponential plan growth without truncation; measured 2 GB
+        # plan strings by iteration ~30). One job here + one agg job below
+        # = the whole per-iteration driver round-trip budget.
+        joined = (
+            cur.join(contrib, cur.id == contrib.dst, "left")
+            .select(
+                "id",
+                "v",
+                "dang",
+                F.col("rank").alias("old"),
+                (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + tele).alias("nx"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ONE action: norms + residual components + next dangling mass
+        s_row = joined.agg(
+            F.sum(F.abs(F.col("nx"))).alias("l1"),
+            F.sum(F.pow(F.col("nx"), 2)).alias("nx2"),
+            F.sum(F.col("nx") * F.col("old")).alias("nxold"),
+            F.sum(F.pow(F.col("old"), 2)).alias("old2"),
+            F.sum(F.col("nx") * F.col("dang")).alias("dmass"),
+        ).first()
+        s = s_row["l1"] if cfg.norm_x == "l1" else math.sqrt(s_row["nx2"])
+        resid = math.sqrt(max(0.0, s_row["nx2"] / (s * s) - 2.0 * s_row["nxold"] / s + s_row["old2"]))
+        d = s_row["dmass"] / s
+        residuals.append(resid)
+
+        # cheap projection over the checkpointed superstep — no extra job
+        new_state = joined.select("id", (F.col("nx") / F.lit(s)).alias("rank"), "v", "dang")
+
+        if checkpoint_store is not None and (it % cfg.checkpoint_every == 0):
+            m_row = joined.agg(
+                F.sum(F.abs(F.col("nx") / F.lit(s) - F.col("old"))).alias("l1_delta"),
+                F.sum(
+                    (F.abs(F.col("nx") / F.lit(s) - F.col("old")) > F.lit(cfg.epsilon)).cast("long")
+                ).alias("active"),
+            ).first()
+            checkpoint_store.write_iteration(
+                new_state,
+                iteration=it,
+                metrics={
+                    "residual_l2": resid,
+                    "l1_delta": float(m_row["l1_delta"]),
+                    "active_vertices": int(m_row["active"]),
+                    "dangling_mass": d,
+                    "norm": s,
+                },
+            )
+
+        cur = new_state  # old checkpoint RDDs are GC-cleaned by ContextCleaner
+
+        if resid < cfg.epsilon:  # pagerank.py:136-137
+            converged = True
+            it += 1
+            break
+    else:
+        it += 1
+
+    result = cur.select("id", "rank")
+    ew.unpersist()
+    return PageRankResult(
+        ranks=result,
+        iterations=it - start_iter,
+        residuals=residuals,
+        converged=converged,
+        n_vertices=n,
+        n_edges=m,
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference operators (driver brief): language-ID (stopword n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token
+counting (whitespace + BPE-ish regex), and document fingerprinting. All
+are pure Catalyst expressions (regexp/array functions — JVM-side,
+whole-stage-codegen'd, no UDFs) and each has an exact DuckDB-SQL oracle
+(same regexes, same arithmetic) wired in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword lists; the heuristic is the operator, the
+# lists are a config surface (swap in real ones at deployment)
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+
+def _stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, single punct."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_stopword_pattern(lang)), F.lit(0)))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality ∈ [0,1]: rewards moderate length, words 3-10
+    chars on average, low punctuation, some English stopword presence.
+    (Shape follows public C4/Gopher-style filters: length + symbol-ratio +
+    stopword checks.)"""
+    ntok = token_count(text).cast("double")
+    mean_wlen = F.length(F.regexp_replace(text, r"\s+", "")) / F.greatest(ntok, F.lit(1.0))
+    len_term = F.least(ntok / F.lit(20.0), F.lit(1.0))
+    wlen_term = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_count(text, "en").cast("double") / F.greatest(ntok, F.lit(1.0)) * 5.0, F.lit(1.0))
+    return F.round((len_term + wlen_term + punct_term + stop_term) / 4.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID over {de,en,es,fr}; argmax hits, ties →
+    lexicographically smallest lang; zero hits everywhere → 'und'."""
+    hits = [(lang, stopword_count(text, lang)) for lang in sorted(STOPWORDS)]
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    # iterate in REVERSE lang order so earlier langs win ties via strict >
+    for lang, h in reversed(hits):
+        cond = h > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return best_lang
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 exists in both Spark and DuckDB → portable oracle)."""
+    return F.md5(normalized_text(text))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

@@ -132,6 +132,58 @@ def power_method(
     return x, iters, residuals
 
 
+def power_method_sparse(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    v: np.ndarray | None = None,
+    alpha: float = 0.85,
+    max_iterations: int = 1000,
+    epsilon: float = 1e-6,
+    norm_x: str = "l1",
+    norm_v: str = "l2",
+):
+    """Sparse variant of power_method (same semantics) for n where a dense
+    P is infeasible: Pᵀx via np.add.at gather-scatter. → (x, iters)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src] = True
+    a = (~has_out).astype(np.float64)
+
+    if v is None:
+        v = np.full(n, 1.0 / n, dtype=np.float64)
+    v = v.astype(np.float64).copy()
+    v /= np.linalg.norm(v, 2 if norm_v == "l2" else 1)
+
+    x = np.full(n, 1.0 / math.sqrt(n), dtype=np.float64)
+    x /= np.linalg.norm(x, 2)
+
+    iters = 0
+    for _ in range(max_iterations):
+        iters += 1
+        xprev = x.copy()
+        d = float(x @ a)
+        q = (alpha * d + (1 - alpha)) * v
+        pt_x = np.zeros(n, dtype=np.float64)
+        np.add.at(pt_x, dst, w * x[src])
+        x = alpha * pt_x + q
+        x /= np.linalg.norm(x, 1 if norm_x == "l1" else 2)
+        r = float(np.linalg.norm(x - xprev, 2))
+        if r < epsilon:
+            break
+    return x, iters
+
+
+def sparse_weights(src: np.ndarray) -> np.ndarray:
+    """w = 1/outdeg(src) per edge (pagerank.py:50-61), vectorized."""
+    src = np.asarray(src, dtype=np.int64)
+    counts = np.bincount(src)
+    return 1.0 / counts[src].astype(np.float64)
+
+
 def pagerank_from_rows(
     rows: list[tuple[str, str]],
     alpha: float = 0.85,

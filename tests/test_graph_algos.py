@@ -1,0 +1,133 @@
+"""CC / LPA / triangle-count exactness (FIXTURES.md §F1 structure goldens
++ networkx oracles on the synthetic source-code graph)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import networkx as nx
+import pandas as pd
+import pytest
+
+from pagerank_project_spark.operators.components import connected_components
+from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+from pagerank_project_spark.operators.labelprop import label_propagation
+from pagerank_project_spark.operators.triangles import triangle_count
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+
+
+def lpa_oracle(vertex_ids, directed_edges, iterations):
+    """Sync LPA replica: neighbor label frequency over the symmetrized,
+    deduplicated, self-loop-free edge set; tie → min label."""
+    adj = {v: set() for v in vertex_ids}
+    for s, t in directed_edges:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    labels = {v: v for v in vertex_ids}
+    for _ in range(iterations):
+        new = {}
+        for v in vertex_ids:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in adj[v])
+            # tie-break: max count, then MIN label (string order)
+            top = max(cnt.values())
+            new[v] = min(lbl for lbl, c in cnt.items() if c == top)
+        labels = new
+    return labels
+
+
+# --- F1 small graph ---------------------------------------------------------
+
+def test_small_graph_cc_single_component(spark, small_rows):
+    res = connected_components(spark, edges_df(spark, small_rows))
+    labs = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert res.converged
+    assert set(labs.values()) == {"1"}
+    assert len(labs) == 6
+
+
+def test_small_graph_cc_two_components(spark, small_rows):
+    rows = [r for r in small_rows if r != ("3", "5")]
+    res = connected_components(spark, edges_df(spark, rows))
+    labs = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert {k for k, v in labs.items() if v == "1"} == {"1", "2", "3"}
+    assert {k for k, v in labs.items() if v == "4"} == {"4", "5", "6"}
+
+
+def test_small_graph_triangles(spark, small_rows):
+    res = triangle_count(spark, edges_df(spark, small_rows))
+    assert res.total == 2  # {1,2,3} and {4,5,6} (FIXTURES.md §F1)
+    pv = {r["id"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert pv == {str(i): 1 for i in range(1, 7)}
+
+
+def test_small_graph_lpa_matches_oracle(spark, small_rows):
+    res = label_propagation(spark, edges_df(spark, small_rows), iterations=5)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    exp = lpa_oracle([str(i) for i in range(1, 7)], small_rows, 5)
+    assert got == exp
+
+
+def test_lpa_edge_order_invariance(spark, small_rows):
+    import random
+
+    rows = list(small_rows)
+    random.Random(3).shuffle(rows)
+    a = {r["id"]: r["label"] for r in label_propagation(spark, edges_df(spark, small_rows), iterations=4).labels.collect()}
+    b = {r["id"]: r["label"] for r in label_propagation(spark, edges_df(spark, rows), iterations=4).labels.collect()}
+    assert a == b
+
+
+# --- synthetic source-code graph vs networkx --------------------------------
+
+@pytest.fixture(scope="module")
+def synth(spark, sf0001_fixture):
+    files = spark.read.parquet(f"{sf0001_fixture}/source_table/data")
+    edges = extract_edges(files, verify_sha=False).persist()
+    verts = vertices_from_files(files)
+    epd = edges.select("src", "dst").toPandas()
+    vids = [r["id"] for r in verts.distinct().collect()]
+    return edges, verts, epd, vids
+
+
+def test_synthetic_cc_matches_networkx(spark, synth):
+    edges, verts, epd, vids = synth
+    g = nx.Graph()
+    g.add_nodes_from(vids)
+    g.add_edges_from(epd.itertuples(index=False))
+    exp = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+    res = connected_components(spark, edges, vertices=verts)
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert res.converged
+    assert got == exp
+    # multi-component guarantee from the fixture's isolated repo ring
+    assert len(set(exp.values())) > 1
+
+
+def test_synthetic_triangles_match_networkx(spark, synth):
+    edges, verts, epd, vids = synth
+    g = nx.Graph()
+    g.add_edges_from((s, t) for s, t in epd.itertuples(index=False) if s != t)
+    nx_tri = nx.triangles(g)
+    res = triangle_count(spark, edges)
+    assert res.total == sum(nx_tri.values()) // 3
+    pv = {r["id"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert pv == {v: c for v, c in nx_tri.items() if c > 0}
+
+
+def test_synthetic_lpa_matches_oracle(spark, synth):
+    edges, verts, epd, vids = synth
+    res = label_propagation(spark, edges, vertices=verts, iterations=4)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    exp = lpa_oracle(vids, list(epd.itertuples(index=False)), 4)
+    assert got == exp
