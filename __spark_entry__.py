@@ -1,38 +1,546 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: edge extraction from the synthetic
+                     source-code table (FIXTURES.md §F2) → damped PageRank
+                     (reference semantics, pagerank.py:100-139) → top-20.
+``queries()``      — one entry per operator family from SURVEY.md §2 and
+                     the training-data-pipeline suite; each (spark,
+                     sf_dir) → DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents on the same
+                     parquet views. Queries over OUR synthetic fixture
+                     (code_*) and the iterative-convergence/LSH paths have
+                     no SQL oracle → rows-only checks per the contract.
+
+Float columns are rounded to ≤6 dp on BOTH sides so value-hashes are
+stable across fp summation orders. Column names are aliased identically
+on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+ALPHA = 0.85
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→supplier link graph: one edge per lineitem of each order
+    (parallel edges preserved — reference COO additive semantics)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+
+
+CS_EDGES_SQL = """
+  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+NORM_TEXT_SQL = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 source-code table → extracted link graph →
+    reference-mode PageRank → top-20 files by rank."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.datagen import ensure_fixture
+    from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    fix = ensure_fixture(0.001)
+    files = spark.read.parquet(f"{fix}/source_table/data")
+    edges = extract_edges(files)  # sha256 invariant asserted inside
+    verts = vertices_from_files(files)
+    res = pagerank(spark, edges, vertices=verts, cfg=PageRankConfig(mode="reference", epsilon=1e-6))
+    return (
+        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_degree_distribution(spark, sf_dir):
+    e = _cs_edges(spark, sf_dir)
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def q_inlink_ratio_filter(spark, sf_dir):
+    from pagerank_project_spark.operators.pagerank import apply_filter_ratio, build_vertices
+
+    e = _cs_edges(spark, sf_dir)
+    n = build_vertices(e, None).count()
+    total = e.count()
+    kept = apply_filter_ratio(e, n, 0.3).count()
+    return spark.createDataFrame(
+        [(n, total, kept)], "n_vertices long, n_edges_total long, n_edges_kept long"
+    )
+
+
+def q_pagerank_k3(spark, sf_dir):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    e = _cs_edges(spark, sf_dir)
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, e, cfg=cfg)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_cc_iter5(spark, sf_dir):
+    from pagerank_project_spark.operators.components import connected_components
+
+    e = _cs_edges(spark, sf_dir)
+    res = connected_components(spark, e, max_iterations=5)
+    return res.labels.select("id", "component")
+
+
+def q_triangle_count(spark, sf_dir):
+    from pagerank_project_spark.operators.triangles import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("a.l_suppkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("b.l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    res = triangle_count(spark, pairs)
+    return spark.createDataFrame([(res.total,)], "n_triangles long")
+
+
+def q_search_topk(spark, sf_dir):
+    from pagerank_project_spark.functions.query import search
+
+    ranks = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("id"), (F.col("c_acctbal") / F.lit(100000.0)).alias("rank")
+    )
+    out = search(ranks, "191 -8", max_results=10, sum_weight=0.03)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pagerank_project_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_text_profile(spark, sf_dir):
+    from pagerank_project_spark.operators.textstats import text_profile
+
+    prof = text_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+        "fp",
+    )
+
+
+def q_lang_histogram(spark, sf_dir):
+    from pagerank_project_spark.operators.textstats import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pagerank_project_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_embedding_topk(spark, sf_dir):
+    from pagerank_project_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return brute_force_topk(spark, queries, emb, k=5)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+# --- rows-only queries over the synthetic source-code fixture ---------------
+
+def _code_graph(spark, sf_dir):
+    from pagerank_project_spark.datagen import ensure_fixture
+    from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+
+    fix = ensure_fixture(_sf_of(sf_dir))
+    files = spark.read.parquet(f"{fix}/source_table/data")
+    return extract_edges(files, verify_sha=False), vertices_from_files(files)
+
+
+def q_code_extract_summary(spark, sf_dir):
+    from pagerank_project_spark.datagen import ensure_fixture
+    from pagerank_project_spark.operators.extract import extract_edges
+
+    fix = ensure_fixture(_sf_of(sf_dir))
+    files = spark.read.parquet(f"{fix}/source_table/data")
+    e = extract_edges(files)  # sha invariant enforced
+    return e.groupBy("kind").agg(F.count("*").alias("n_edges")).orderBy("kind")
+
+
+def q_code_pagerank_top50(spark, sf_dir):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    edges, verts = _code_graph(spark, sf_dir)
+    res = pagerank(
+        spark, edges, vertices=verts, cfg=PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=100)
+    )
+    return (
+        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_code_pagerank_csr_top50(spark, sf_dir):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    edges, verts = _code_graph(spark, sf_dir)
+    cfg = PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=100, strategy="csr")
+    res = pagerank(spark, edges, vertices=verts, cfg=cfg)
+    return (
+        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_code_cc_sizes(spark, sf_dir):
+    from pagerank_project_spark.operators.components import connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    res = connected_components(spark, edges, vertices=verts)
+    return (
+        res.labels.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+def q_code_lpa_communities(spark, sf_dir):
+    from pagerank_project_spark.operators.labelprop import label_propagation
+
+    edges, verts = _code_graph(spark, sf_dir)
+    res = label_propagation(spark, edges, vertices=verts, iterations=4)
+    return (
+        res.labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_communities"))
+    )
+
+
+def q_code_triangles(spark, sf_dir):
+    from pagerank_project_spark.operators.triangles import triangle_count
+
+    edges, _ = _code_graph(spark, sf_dir)
+    res = triangle_count(spark, edges)
+    return spark.createDataFrame([(res.total,)], "n_triangles long")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from pagerank_project_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_near(spark, sf_dir):
+    from pagerank_project_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    from pagerank_project_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(spark, _t(spark, sf_dir, "embeddings"), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference-derived operator families (SURVEY.md §2)
+        "degree_distribution": q_degree_distribution,
+        "inlink_ratio_filter": q_inlink_ratio_filter,
+        "pagerank_k3": q_pagerank_k3,
+        "cc_iter5": q_cc_iter5,
+        "triangle_count": q_triangle_count,
+        "search_topk": q_search_topk,
+        # training-data pipeline suite
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "lang_histogram": q_lang_histogram,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "events_hourly": q_events_hourly,
+        # rows-only: synthetic source-code fixture + approximate/iterative ops
+        "code_extract_summary": q_code_extract_summary,
+        "code_pagerank_top50": q_code_pagerank_top50,
+        "code_pagerank_csr_top50": q_code_pagerank_csr_top50,
+        "code_cc_sizes": q_code_cc_sizes,
+        "code_lpa_communities": q_code_lpa_communities,
+        "code_triangles": q_code_triangles,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near": q_simhash_near,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _pagerank_k3_sql() -> str:
+    """Unrolled 3-iteration textbook PageRank (standard mode: v L1, x L1;
+    x0 = 1/√n; same per-iteration dataflow as pagerank.py:100-139)."""
+    head = f"""
+WITH e AS ({CS_EDGES_SQL}),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+od AS (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+x0 AS (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
+"""
+    body = ""
+    for k in range(3):
+        p, c = f"x{k}", f"x{k + 1}"
+        body += f""",
+dang{k} AS (SELECT COALESCE(SUM(x.x), 0) AS dm FROM {p} x LEFT JOIN od ON x.id = od.src WHERE od.src IS NULL),
+con{k} AS (SELECT w.dst AS id, SUM(w.w * x.x) AS c FROM w JOIN {p} x ON w.src = x.id GROUP BY w.dst),
+raw{k} AS (
+  SELECT v.id, {ALPHA}*COALESCE(c.c, 0) + ({ALPHA}*d.dm + {1 - ALPHA})*(1.0/nn.n) AS x
+  FROM v LEFT JOIN con{k} c ON v.id = c.id, nn, dang{k} d
+),
+{c} AS (SELECT id, x / (SELECT SUM(abs(x)) FROM raw{k}) AS x FROM raw{k})
+"""
+    return head + body + "\nSELECT id, ROUND(x, 6) AS rank FROM x3"
+
+
+def _cc_iter5_sql() -> str:
+    head = f"""
+WITH e AS ({CS_EDGES_SQL}),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+l0 AS (SELECT id, id AS component FROM v)
+"""
+    body = ""
+    for k in range(5):
+        p, c = f"l{k}", f"l{k + 1}"
+        body += f""",
+m{k} AS (SELECT u.dst AS id, MIN(x.component) AS mn FROM und u JOIN {p} x ON u.src = x.id GROUP BY u.dst),
+{c} AS (
+  SELECT l.id, LEAST(l.component, COALESCE(m.mn, l.component)) AS component
+  FROM {p} l LEFT JOIN m{k} m ON l.id = m.id
+)
+"""
+    return head + body + "\nSELECT id, component FROM l5"
+
+
+def _text_profile_sql() -> str:
+    from pagerank_project_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
+
+    def sw(lang):
+        return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+    hits = {lang: f"len(regexp_extract_all(lower(text), '{sw(lang)}'))" for lang in sorted(STOPWORDS)}
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    len(str_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1) AS praw,
+    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws,
+    {hits["de"]} AS h_de, {hits["en"]} AS h_en, {hits["es"]} AS h_es, {hits["fr"]} AS h_fr,
+    md5({NORM_TEXT_SQL}) AS fp
+  FROM documents
+), q AS (
+  SELECT *,
+    least(n_tokens / 20.0, 1.0) AS len_term,
+    CASE WHEN nws / greatest(n_tokens, 1.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS wlen_term,
+    1.0 - least(praw * 5.0, 1.0) AS punct_term,
+    least(h_en / greatest(n_tokens, 1.0)::DOUBLE * 5.0, 1.0) AS stop_term,
+    greatest(h_de, h_en, h_es, h_fr) AS best
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+  ROUND(praw, 6) AS punct_ratio,
+  ROUND((len_term + wlen_term + punct_term + stop_term) / 4.0, 6) AS quality,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+       WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred,
+  fp
+FROM q
+"""
+
+
+def _lang_histogram_sql() -> str:
+    from pagerank_project_spark.operators.textstats import STOPWORDS
+
+    def sw(lang):
+        return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+    hits = {lang: f"len(regexp_extract_all(lower(text), '{sw(lang)}'))" for lang in sorted(STOPWORDS)}
+    return f"""
+WITH base AS (
+  SELECT {hits["de"]} AS h_de, {hits["en"]} AS h_en, {hits["es"]} AS h_es, {hits["fr"]} AS h_fr
+  FROM documents
+), lp AS (
+  SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM base
+)
+SELECT lang_pred, COUNT(*)::BIGINT AS n_docs FROM lp GROUP BY lang_pred
+"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.2) -> str:
+    return f"""
+WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) >= 3
+      THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]
+      ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "degree_distribution": f"""
+WITH e AS ({CS_EDGES_SQL})
+SELECT degree, COUNT(*)::BIGINT AS n_nodes
+FROM (SELECT src, COUNT(*)::BIGINT AS degree FROM e GROUP BY src)
+GROUP BY degree
+""",
+        "inlink_ratio_filter": f"""
+WITH e AS ({CS_EDGES_SQL}),
+nv AS (SELECT COUNT(*)::BIGINT AS c FROM (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))),
+ind AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst)
+SELECT (SELECT c FROM nv) AS n_vertices,
+       (SELECT COUNT(*)::BIGINT FROM e) AS n_edges_total,
+       (SELECT COUNT(*)::BIGINT FROM e JOIN ind USING (dst), nv WHERE ind.c < 0.3 * nv.c) AS n_edges_kept
+""",
+        "pagerank_k3": _pagerank_k3_sql(),
+        "cc_iter5": _cc_iter5_sql(),
+        "triangle_count": """
+WITH und AS (
+  -- canonical string-ordered undirected edges (s1 < s2); orientation choice
+  -- doesn't affect the COUNT (degree-ordering in the engine is physical)
+  SELECT DISTINCT
+    least('s' || a.l_suppkey, 's' || b.l_suppkey) AS s1,
+    greatest('s' || a.l_suppkey, 's' || b.l_suppkey) AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+)
+SELECT COUNT(*)::BIGINT AS n_triangles
+FROM und ab JOIN und ac ON ab.s1 = ac.s1 AND ab.s2 < ac.s2
+JOIN und bc ON bc.s1 = ab.s2 AND bc.s2 = ac.s2
+""",
+        "search_topk": """
+SELECT c_name AS id, ROUND(c_acctbal / 100000.0 + 1 * (0.03), 6) AS score
+FROM customer
+WHERE c_name LIKE '%191%' AND c_name NOT LIKE '%8%'
+ORDER BY c_acctbal / 100000.0 + 0.03 DESC, c_name
+LIMIT 10
+""",
+        "dedup_exact": f"""
+WITH fps AS (SELECT doc_id, md5({NORM_TEXT_SQL}) AS fp FROM documents)
+SELECT fp, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
+FROM fps GROUP BY fp HAVING COUNT(*) >= 2
+""",
+        "text_profile": _text_profile_sql(),
+        "lang_histogram": _lang_histogram_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(0.2),
+        "embedding_topk": """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT q.vec_id, c.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM q, c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor, cosine FROM ranked WHERE rn <= 5
+""",
+        "events_hourly": """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Headline benchmark — prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — driver tables;
+     SPARK_GRAFT_CPUS   (default 32) — local[N] parallelism.
+
+The graph suite runs on the synthetic source-code link graph (FIXTURES.md
+§F2) at the SAME sf as the driver dir (generated+cached under fixtures/).
+Headline metric (BASELINE.json): edges-processed/sec per PageRank
+superstep + iterations-to-convergence (L1 delta < 1e-6). The TPC-H-ish
+and documents/embeddings queries cover the non-graph operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from __spark_entry__ import (
+        _sf_of,
+        q_degree_distribution,
+        q_embedding_topk,
+        q_minhash_lsh,
+        q_pagerank_k3,
+        q_text_profile,
+    )
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.datagen import ensure_fixture
+    from pagerank_project_spark.operators.components import connected_components
+    from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.operators.triangles import triangle_count
+    from pagerank_project_spark.session import get_spark
+
+    sf = _sf_of(sf_dir)
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    fix = ensure_fixture(sf)
+    files = spark.read.parquet(f"{fix}/source_table/data").persist()
+    files.count()
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    t_all = time.time()
+
+    # --- edge extraction (incl. sha256 invariant scan) ---------------------
+    with timed("extract_edges"):
+        edges = extract_edges(files, verify_sha=True).persist()
+        n_edges = edges.count()
+    verts = vertices_from_files(files).persist()
+    n_verts = verts.count()
+
+    # --- PageRank, relational superstep ------------------------------------
+    with timed("pagerank_relational"):
+        res_rel = pagerank(
+            spark, edges, vertices=verts, cfg=PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=60)
+        )
+    extra["pagerank_iterations"] = res_rel.iterations
+    extra["pagerank_edges_per_sec_per_superstep"] = round(
+        n_edges * res_rel.iterations / queries["pagerank_relational"], 1
+    )
+
+    # --- PageRank, CSR pandas-UDF superstep (salted) -----------------------
+    with timed("pagerank_csr"):
+        res_csr = pagerank(
+            spark,
+            edges,
+            vertices=verts,
+            cfg=PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=60, strategy="csr"),
+        )
+    extra["pagerank_csr_edges_per_sec_per_superstep"] = round(
+        n_edges * res_csr.iterations / queries["pagerank_csr"], 1
+    )
+
+    # --- CC / LPA / triangles ---------------------------------------------
+    with timed("connected_components"):
+        cc = connected_components(spark, edges, vertices=verts)
+        cc.labels.groupBy("component").count().count()
+    extra["cc_iterations"] = cc.iterations
+    with timed("label_propagation_4it"):
+        label_propagation(spark, edges, vertices=verts, iterations=4).labels.count()
+    with timed("triangle_count"):
+        tri = triangle_count(spark, edges)
+    extra["n_triangles"] = tri.total
+
+    # --- driver-table operator families ------------------------------------
+    with timed("tpch_degree_distribution"):
+        q_degree_distribution(spark, sf_dir).count()
+    with timed("tpch_pagerank_k3"):
+        q_pagerank_k3(spark, sf_dir).count()
+    with timed("docs_text_profile"):
+        q_text_profile(spark, sf_dir).count()
+    with timed("docs_minhash_lsh"):
+        q_minhash_lsh(spark, sf_dir).count()
+    with timed("embedding_topk"):
+        q_embedding_topk(spark, sf_dir).count()
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "n_vertices": n_verts,
+                "n_edges": n_edges,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

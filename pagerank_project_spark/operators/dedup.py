@@ -34,7 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-MERSENNE_P = (1 << 61) - 1
+# 2^31-1: keeps (h·a+b) < 2^62 — no int64 overflow under ANSI arithmetic
+MERSENNE_P = (1 << 31) - 1
 
 
 def shingles(text, n: int = 3):
@@ -118,10 +119,14 @@ def minhash_signatures(
     xxhash64 → per-permutation universal hash (a·h+b mod 2⁶¹−1) → min."""
     hashes = F.transform(shingles(F.col(text_col), n), lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P)
     doc = docs.select(F.col(id_col), hashes.alias("hs"))
+
+    def perm_fn(a: int, b: int):
+        # factory → single-arg lambda (extra default args would change the
+        # arity PySpark infers for the higher-order function)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE_P
+
     mins = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h, _a=a, _b=b: (h * _a + _b) % MERSENNE_P)
-        ).alias(f"m{i}")
+        F.array_min(F.transform(F.col("hs"), perm_fn(a, b))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
     return doc.select(id_col, F.array(*mins).alias("sig"))

@@ -133,7 +133,14 @@ def pagerank(
         e = apply_filter_ratio(e, n, cfg.filter_ratio)
 
     nparts = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ew = weighted_edges(e).repartition(nparts, "src").persist()
+    if cfg.strategy == "csr":
+        from pagerank_project_spark.operators.superstep_csr import prepare_salted_edges
+
+        ew = prepare_salted_edges(
+            weighted_edges(e), nparts, cfg.salt_buckets, cfg.hub_degree_threshold
+        ).persist()
+    else:
+        ew = weighted_edges(e).repartition(nparts, "src").persist()
     m = ew.count()  # materialize the partitioned, weighted edge table once
 
     # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
@@ -190,11 +197,16 @@ def pagerank(
         rank_side = cur.select(F.col("id").alias("_src"), "rank")
         if n <= BROADCAST_VERTEX_LIMIT:
             rank_side = F.broadcast(rank_side)
-        contrib = (
-            ew.join(rank_side, ew.src == F.col("_src"), "inner")
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("rank")).alias("contrib"))
-        )
+        if cfg.strategy == "csr":
+            from pagerank_project_spark.operators.superstep_csr import csr_contribs
+
+            contrib = csr_contribs(ew, rank_side)
+        else:
+            contrib = (
+                ew.join(rank_side, ew.src == F.col("_src"), "inner")
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("rank")).alias("contrib"))
+            )
         tele = F.lit(alpha * d + (1.0 - alpha)) * F.col("v")  # q (pagerank.py:125)
         # localCheckpoint EVERY iteration: materializes the superstep AND
         # truncates lineage (the plan references the previous state several

@@ -67,16 +67,17 @@ def brute_force_topk(
             qids = pdf[id_col].to_numpy(np.int64)
             out_q, out_n, out_c = [], [], []
             for row, qid in enumerate(qids):
-                s = sims[row].copy()
+                # rank on ROUNDED cosine so the (cosine desc, id asc) order
+                # is reproducible across engines with different fp sum order
+                s = np.round(sims[row], 6)
                 s[cids == qid] = -np.inf  # exclude self
                 kk = min(k, s.size)
-                # top-k with deterministic (cosine desc, id asc) order
                 cand = np.argpartition(-s, kk - 1)[:kk]
                 order = np.lexsort((cids[cand], -s[cand]))
                 sel = cand[order]
                 out_q.extend([qid] * len(sel))
                 out_n.extend(cids[sel].tolist())
-                out_c.extend(np.round(s[sel], 6).tolist())
+                out_c.extend(s[sel].tolist())
             yield pd.DataFrame({"vec_id": out_q, "neighbor": out_n, "cosine": out_c})
 
     return queries.select(id_col, vec_col).mapInPandas(kernel, schema=TOPK_SCHEMA)

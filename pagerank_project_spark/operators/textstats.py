@@ -68,9 +68,10 @@ def lang_id(text: Column) -> Column:
     lexicographically smallest lang; zero hits everywhere → 'und'."""
     hits = [(lang, stopword_count(text, lang)) for lang in sorted(STOPWORDS)]
     best_lang, best_hits = F.lit("und"), F.lit(0)
-    # iterate in REVERSE lang order so earlier langs win ties via strict >
+    # iterate in REVERSE lang order with >= so on ties the alphabetically
+    # SMALLEST lang (processed last) wins; > 0 guard keeps 'und' for no hits
     for lang, h in reversed(hits):
-        cond = h > best_hits
+        cond = (h >= best_hits) & (h > 0)
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(cond, h).otherwise(best_hits)
     return best_lang

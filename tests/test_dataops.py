@@ -40,14 +40,27 @@ def py_shingles(t: str, n=3) -> set[str]:
 # --- exact dedup ------------------------------------------------------------
 
 def test_exact_dedup_matches_python_oracle(spark, docs, docs_pdf):
-    got = {r["fp"]: (r["n_docs"], r["canonical_id"]) for r in dedup.exact_dedup_groups(docs).collect()}
+    # the sf0.001 documents have no byte-exact dups → add three copies of
+    # doc 0 (one differing only in case/punct, which normalization folds)
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002, 9003],
+            "text": [docs_pdf.text[0], docs_pdf.text[0].upper() + "!", docs_pdf.text[1]],
+            "lang": ["xx"] * 3,
+            "source": ["synth"] * 3,
+            "n_chars": [1] * 3,
+        }
+    )
+    all_docs = docs.unionByName(spark.createDataFrame(extra))
+    all_pdf = pd.concat([docs_pdf, extra], ignore_index=True)
+    got = {r["fp"]: (r["n_docs"], r["canonical_id"]) for r in dedup.exact_dedup_groups(all_docs).collect()}
     groups: dict[str, list[int]] = {}
-    for _, row in docs_pdf.iterrows():
+    for _, row in all_pdf.iterrows():
         fp = hashlib.md5(norm_text(row["text"]).encode()).hexdigest()
         groups.setdefault(fp, []).append(row["doc_id"])
     exp = {fp: (len(ids), min(ids)) for fp, ids in groups.items() if len(ids) >= 2}
     assert got == exp
-    assert len(exp) > 0  # fixture contains duplicates ("dup" docs)
+    assert len(exp) >= 2  # {0, 9001, 9002} and {1, 9003}
 
 
 # --- n-gram Jaccard ---------------------------------------------------------
