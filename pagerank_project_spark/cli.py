@@ -1,0 +1,125 @@
+"""CLI surface — mirrors the reference's argparse knobs (reference:
+pagerank.py:261-285: --data --personalization_vector_query --search_query
+--filter_ratio --alpha --max_iterations --epsilon --max_results --verbose
+--power --sum_weight) plus the Spark-side knobs the reference has no
+concept of (strategy, partitions, salting, checkpointing, normalization
+mode, algorithm selection).
+
+Run locally:     python -m pagerank_project_spark.cli --data <edges.csv[.gz]|fixture_dir> ...
+Run on cluster:  spark-submit --py-files pagerank_project_spark.zip \
+                     -m ...cli equivalent (tools/submit.sh wraps this)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pagerank_project_spark")
+    # reference-parity knobs
+    p.add_argument("--data", required=True, help="edge-list CSV(.gz) path, or a fixture dir with source_table/")
+    p.add_argument("--personalization_vector_query", default=None)
+    p.add_argument("--search_query", default="")
+    p.add_argument("--filter_ratio", type=float, default=None)
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--max_iterations", type=int, default=1000)
+    p.add_argument("--epsilon", type=float, default=1e-6)
+    p.add_argument("--max_results", type=int, default=10)
+    p.add_argument("--power", type=int, default=30)
+    p.add_argument("--sum_weight", type=float, default=0.03)
+    p.add_argument("--verbose", action="store_true")
+    # engine knobs
+    p.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc", "lpa", "triangles"])
+    p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
+    p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
+    p.add_argument("--num_partitions", type=int, default=None)
+    p.add_argument("--salt_buckets", type=int, default=8)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--lpa_iterations", type=int, default=10)
+    p.add_argument("--output", default=None, help="write result parquet here instead of printing top-k")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
+
+    from pyspark.sql import functions as F
+
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.functions.query import search, url_satisfies_query
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.plans.checkpoint import CheckpointStore
+    from pagerank_project_spark.session import get_spark
+
+    spark = get_spark(app_name="pagerank_project_spark", cores=args.cores)
+
+    if args.data.endswith((".csv", ".csv.gz", ".gz")):
+        from pagerank_project_spark.sources.csv_edgelist import read_edgelist_csv
+
+        edges, vertices = read_edgelist_csv(spark, args.data), None
+    else:
+        from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+
+        files = spark.read.parquet(f"{args.data}/source_table/data")
+        edges, vertices = extract_edges(files), vertices_from_files(files)
+
+    store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
+
+    if args.algorithm == "pagerank":
+        cfg = PageRankConfig(
+            alpha=args.alpha,
+            max_iterations=args.max_iterations,
+            epsilon=args.epsilon,
+            filter_ratio=args.filter_ratio,
+            mode=args.mode,
+            strategy=args.strategy,
+            num_partitions=args.num_partitions,
+            salt_buckets=args.salt_buckets,
+        )
+        v_expr = (
+            url_satisfies_query(F.col("id"), args.personalization_vector_query)
+            if args.personalization_vector_query
+            else None
+        )
+        res = pagerank(spark, edges, vertices=vertices, cfg=cfg, v_expr=v_expr, checkpoint_store=store)
+        out = res.ranks
+        print(json.dumps({"iterations": res.iterations, "converged": res.converged,
+                          "n_vertices": res.n_vertices, "n_edges": res.n_edges}))
+        if args.search_query or not args.output:
+            top = search(out, args.search_query, max_results=args.max_results,
+                         sum_weight=args.sum_weight, power=args.power)
+            for i, r in enumerate(top.collect()):
+                print(f"rank={i} pagerank={r['score']:.4e} url={r['id']}")
+    elif args.algorithm == "cc":
+        from pagerank_project_spark.operators.components import connected_components
+
+        res = connected_components(spark, edges, vertices=vertices,
+                                   max_iterations=args.max_iterations, checkpoint_store=store)
+        out = res.labels
+        print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
+    elif args.algorithm == "lpa":
+        from pagerank_project_spark.operators.labelprop import label_propagation
+
+        res = label_propagation(spark, edges, vertices=vertices,
+                                iterations=args.lpa_iterations, checkpoint_store=store)
+        out = res.labels
+    else:
+        from pagerank_project_spark.operators.triangles import triangle_count
+
+        res = triangle_count(spark, edges)
+        print(json.dumps({"n_triangles": res.total}))
+        out = res.per_vertex
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
