@@ -54,6 +54,7 @@ class PageRankConfig:
     power: int = 30
     # semantics
     mode: str = "reference"  # reference | l2l2 | standard | l2l1
+    convergence: str = "l2_residual"  # l2_residual (reference) | l1_delta (bench)
     # physical
     strategy: str = "relational"  # relational | csr
     num_partitions: int | None = None  # None → spark.sql.shuffle.partitions

@@ -66,10 +66,24 @@ def connected_components(
     und = undirected_edges(edges).repartition(nparts, "src").persist()
     und.count()
 
-    labels = verts.select("id", F.col("id").alias("component")).repartition(nparts, "id").localCheckpoint(eager=True)
+    start_iter = 0
+    if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
+        start_iter = checkpoint_store.latest_iteration()
+        labels = (
+            checkpoint_store.read_state(spark, start_iter)
+            .select("id", "component")
+            .repartition(nparts, "id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels = (
+            verts.select("id", F.col("id").alias("component"))
+            .repartition(nparts, "id")
+            .localCheckpoint(eager=True)
+        )
     converged = False
-    it = 0
-    for it in range(1, max_iterations + 1):
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iterations + 1):
         nbr_min = (
             und.join(labels, und.src == labels.id, "inner")
             .select(F.col("dst").alias("nid"), "component")

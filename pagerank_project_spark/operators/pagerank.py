@@ -182,9 +182,10 @@ def pagerank(
             (F.col("v_raw") * F.lit(v_scale)).alias("v"),
             "dang",
         )
-    cur = cur.repartition(nparts, "id").localCheckpoint(eager=True)
+    cur = cur.repartition(nparts, "id").localCheckpoint(eager=False)
 
-    # initial dangling mass d = x·a (pagerank.py:125)
+    # initial dangling mass d = x·a (pagerank.py:125); the agg also
+    # materializes the lazily-checkpointed initial state
     d = cur.agg(F.sum(F.col("rank") * F.col("dang"))).first()[0] or 0.0
 
     alpha = cfg.alpha
@@ -208,11 +209,12 @@ def pagerank(
                 .agg(F.sum(F.col("w") * F.col("rank")).alias("contrib"))
             )
         tele = F.lit(alpha * d + (1.0 - alpha)) * F.col("v")  # q (pagerank.py:125)
-        # localCheckpoint EVERY iteration: materializes the superstep AND
-        # truncates lineage (the plan references the previous state several
-        # times → exponential plan growth without truncation; measured 2 GB
-        # plan strings by iteration ~30). One job here + one agg job below
-        # = the whole per-iteration driver round-trip budget.
+        # LAZY localCheckpoint EVERY iteration: the stats agg below is the
+        # single action that (a) materializes the superstep, (b) truncates
+        # lineage (plan references the previous state several times →
+        # exponential plan growth without truncation; measured 2 GB plan
+        # strings by iteration ~30), and (c) returns all driver scalars.
+        # ONE Spark job per iteration in the hot loop.
         joined = (
             cur.join(contrib, cur.id == contrib.dst, "left")
             .select(
@@ -222,7 +224,7 @@ def pagerank(
                 F.col("rank").alias("old"),
                 (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + tele).alias("nx"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # ONE action: norms + residual components + next dangling mass
         s_row = joined.agg(
@@ -237,23 +239,29 @@ def pagerank(
         d = s_row["dmass"] / s
         residuals.append(resid)
 
+        l1_delta = None
+        if cfg.convergence == "l1_delta" or checkpoint_store is not None:
+            # Σ|x' − x| needs the norm s first → a second (cache-scan) agg
+            l1_delta = joined.agg(
+                F.sum(F.abs(F.col("nx") / F.lit(s) - F.col("old")))
+            ).first()[0]
+
         # cheap projection over the checkpointed superstep — no extra job
         new_state = joined.select("id", (F.col("nx") / F.lit(s)).alias("rank"), "v", "dang")
 
         if checkpoint_store is not None and (it % cfg.checkpoint_every == 0):
-            m_row = joined.agg(
-                F.sum(F.abs(F.col("nx") / F.lit(s) - F.col("old"))).alias("l1_delta"),
+            active = joined.agg(
                 F.sum(
                     (F.abs(F.col("nx") / F.lit(s) - F.col("old")) > F.lit(cfg.epsilon)).cast("long")
-                ).alias("active"),
-            ).first()
+                ).alias("active")
+            ).first()["active"]
             checkpoint_store.write_iteration(
                 new_state,
                 iteration=it,
                 metrics={
                     "residual_l2": resid,
-                    "l1_delta": float(m_row["l1_delta"]),
-                    "active_vertices": int(m_row["active"]),
+                    "l1_delta": float(l1_delta),
+                    "active_vertices": int(active),
                     "dangling_mass": d,
                     "norm": s,
                 },
@@ -261,7 +269,10 @@ def pagerank(
 
         cur = new_state  # old checkpoint RDDs are GC-cleaned by ContextCleaner
 
-        if resid < cfg.epsilon:  # pagerank.py:136-137
+        # stop rule: reference = L2 residual (pagerank.py:136-137);
+        # 'l1_delta' = BASELINE.json bench criterion (L1 delta < ε)
+        crit = resid if cfg.convergence == "l2_residual" else l1_delta
+        if crit < cfg.epsilon:
             converged = True
             it += 1
             break

@@ -1,0 +1,152 @@
+"""Two-parallelism scaling run (BASELINE.json north_rule: N vs 4N
+executors; sandbox stand-in = local[8] vs local[32], same machine, same
+input, only task parallelism varies — per the round brief).
+
+Scaling is measured where compute dominates the Spark per-job floor: a
+fixed-iteration PageRank on the sf=1 synthetic link graph (~1M vertices,
+~4M edges). The driver-facing bench.py (sf0.1) numbers are recorded
+alongside. Writes BENCH/BASELINE.md + raw JSON.
+
+Usage: python tools/bench_scaling.py [--sf 1.0] [--iters 15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SCALE_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pagerank_project_spark.session import get_spark
+from pagerank_project_spark.config import PageRankConfig
+from pagerank_project_spark.datagen import ensure_fixture
+from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
+from pagerank_project_spark.operators.pagerank import pagerank
+
+sf = float(sys.argv[1]); cpus = int(sys.argv[2]); iters = int(sys.argv[3]); strategy = sys.argv[4]
+spark = get_spark(app_name=f"scale-{cpus}", cores=cpus, shuffle_partitions=cpus)
+fix = ensure_fixture(sf)
+files = spark.read.parquet(f"{fix}/source_table/data")
+edges = extract_edges(files, verify_sha=False).persist()
+n_edges = edges.count()
+verts = vertices_from_files(files).persist(); verts.count()
+cfg = PageRankConfig(mode="reference", epsilon=1e-300, max_iterations=3, strategy=strategy)
+pagerank(spark, edges, vertices=verts, cfg=cfg)  # warmup (plans, codegen)
+cfg = PageRankConfig(mode="reference", epsilon=1e-300, max_iterations=iters, strategy=strategy)
+t0 = time.time()
+res = pagerank(spark, edges, vertices=verts, cfg=cfg)
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "sf": sf, "strategy": strategy, "n_edges": n_edges,
+                  "n_vertices": res.n_vertices, "iters": res.iterations, "wall_sec": round(dt, 2),
+                  "sec_per_iter": round(dt / res.iterations, 3),
+                  "edges_per_sec_per_superstep": round(n_edges * res.iterations / dt, 1)}))
+"""
+
+
+def run_scale(sf: float, cpus: int, iters: int, strategy: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", SCALE_SNIPPET, str(sf), str(cpus), str(iters), strategy],
+        capture_output=True, text=True, cwd="/root/repo", timeout=5400,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"scale run failed (cpus={cpus}): {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run([sys.executable, "bench.py"], env=env, capture_output=True,
+                         text=True, cwd="/root/repo", timeout=3600)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench failed (cpus={cpus}): {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--sf_dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    scale: dict[tuple, dict] = {}
+    for strategy in ("relational", "csr"):
+        for cpus in (8, 32):
+            t0 = time.time()
+            scale[(strategy, cpus)] = run_scale(args.sf, cpus, args.iters, strategy)
+            r = scale[(strategy, cpus)]
+            print(f"{strategy} local[{cpus}]: {r['sec_per_iter']}s/iter, "
+                  f"{r['edges_per_sec_per_superstep']:,.0f} edges/s ({time.time() - t0:.0f}s total)")
+
+    bench = {cpus: run_bench(cpus, args.sf_dir) for cpus in (8, 32)}
+    print(f"bench.py sf_dir done")
+
+    def eff(strategy):
+        t8 = scale[(strategy, 8)]["edges_per_sec_per_superstep"]
+        t32 = scale[(strategy, 32)]["edges_per_sec_per_superstep"]
+        return t32 / (4 * t8)
+
+    s32 = scale[("relational", 32)]
+    b32 = bench[32]
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured engine numbers (this sandbox)
+
+## Scaling evidence (north_rule: N vs 4N, stand-in local[8] vs local[32])
+
+Same machine, same input (synthetic source-code link graph at sf={args.sf}:
+{s32["n_vertices"]:,} vertices, {s32["n_edges"]:,} edges), same fixed
+{args.iters}-superstep PageRank job — only task parallelism varies.
+
+| strategy | local[8] edges/s/superstep | local[32] edges/s/superstep | efficiency (×4 ideal) |
+|---|---|---|---|
+| relational (join+groupBy-sum) | {scale[("relational", 8)]["edges_per_sec_per_superstep"]:,.0f} | {scale[("relational", 32)]["edges_per_sec_per_superstep"]:,.0f} | {eff("relational"):.2f} |
+| CSR pandas-UDF (salted) | {scale[("csr", 8)]["edges_per_sec_per_superstep"]:,.0f} | {scale[("csr", 32)]["edges_per_sec_per_superstep"]:,.0f} | {eff("csr"):.2f} |
+
+sec/iteration: relational {scale[("relational", 8)]["sec_per_iter"]}s @8 → {scale[("relational", 32)]["sec_per_iter"]}s @32;
+CSR {scale[("csr", 8)]["sec_per_iter"]}s @8 → {scale[("csr", 32)]["sec_per_iter"]}s @32.
+
+## Driver bench (bench.py, sf_dir={args.sf_dir})
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| suite wall | {bench[8]["value"]}s | {bench[32]["value"]}s |
+| PageRank edges/s/superstep (relational) | {bench[8]["pagerank_edges_per_sec_per_superstep"]:,.0f} | {bench[32]["pagerank_edges_per_sec_per_superstep"]:,.0f} |
+| PageRank edges/s/superstep (CSR) | {bench[8]["pagerank_csr_edges_per_sec_per_superstep"]:,.0f} | {bench[32]["pagerank_csr_edges_per_sec_per_superstep"]:,.0f} |
+| iterations to L1 delta < 1e-6 | {bench[8]["pagerank_iterations"]} | {bench[32]["pagerank_iterations"]} |
+
+Per-query seconds (local[32]): {json.dumps(b32["queries"])}
+
+## Reference comparison
+
+The reference publishes no throughput numbers; its derived single-core
+ceiling is 10^7–10^8 edge-traversals/s (BASELINE.md: 1.6M edges × 19 iters
+in ≲2 s, torch.sparse float32, README.md:93-95 + :535-553). At sf=0.1 a
+superstep moves ~{b32["n_edges"]:,} edges — below Spark's ~0.2 s/job
+orchestration floor, so sf0.1 throughput is floor-bound; the sf={args.sf}
+scaling table above is the compute-bound regime. Cost model per superstep:
+`max(job_floor, edges/scan_bw + |V|/shuffle_bw)`; edges are hash
+co-partitioned once and never reshuffled, only the |V|-sized rank vector
+moves, and the scatter is map-side combined, so the second term scales with
+cores/executors.
+
+Raw JSON: BENCH/scaling.json, BENCH/local8.json, BENCH/local32.json.
+""")
+    with open("/root/repo/BENCH/scaling.json", "w") as f:
+        json.dump({f"{k[0]}_{k[1]}": v for k, v in scale.items()}, f, indent=2)
+    with open("/root/repo/BENCH/local8.json", "w") as f:
+        json.dump(bench[8], f, indent=2)
+    with open("/root/repo/BENCH/local32.json", "w") as f:
+        json.dump(bench[32], f, indent=2)
+    print(f"efficiency relational={eff('relational'):.2f} csr={eff('csr'):.2f} → BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
