@@ -3,27 +3,29 @@
 BASELINE.json north_star: "connected components via iterative min-label
 hash propagation", labels must match the oracle EXACTLY. Component label
 = lexicographic min vertex id of the component (deterministic, partition-
-count and edge-order invariant — ids are strings, min is total).
+count and edge-order invariant).
 
-Per superstep (all shuffle-reduced, map-side combined):
+Physical design (mirrors the PageRank superstep, operators/pagerank.py):
 
-    nbr_min(id) = min over undirected neighbors of their current label
-    label'      = least(label, nbr_min)
-    changed     = Σ [label' ≠ label]        (same single-action discipline
-                                             as the PageRank loop: the
-                                             change count is the only
-                                             driver round-trip)
+- vertex ids are dictionary-encoded to longs once; iteration state and
+  edges shuffle 8-byte keys/labels (strings measured 2× slower). The
+  final component representative is restored EXACTLY as the lexicographic
+  min string id by a one-time post-convergence relabel (min-vid and
+  min-string orders differ; convergence itself is order-independent —
+  propagation of ANY total-order minimum reaches the same fixed point
+  partition of vertices).
+- each superstep is ONE map-side-combined shuffle: neighbor-label rows
+  UNION own-label rows → groupBy(vid).min. The own row carries the old
+  label through a second min over (old-slot) so the changed-count needs no
+  join.
+- ONE action per superstep: a lazily local-checkpointed agg that
+  materializes the state, truncates lineage (plan would otherwise double
+  per iteration), and returns the changed-label count.
 
-Converges in O(diameter) supersteps. For graphs with giant diameters the
-large-star/small-star contraction (Kiveris et al., "Connected Components
-in MapReduce and Beyond") halves rounds — left as the `two_phase=True`
-upgrade path; plain propagation is exact and is what the oracle checks.
-
-Scale: the propagation join shuffles (edges ⋈ labels) on src; the
-undirected edge table is materialized once (distinct'd) and persisted with
-a pinned partitioning, labels are the only moving |V|-sized state —
-identical physics to the PageRank superstep, so the same salting/AQE notes
-apply (operators/pagerank.py header).
+Converges in O(diameter) supersteps. For giant diameters the large-star/
+small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond") is the upgrade path; plain propagation is exact
+and is what the oracle checks.
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+INF_LABEL = 1 << 62
 
 
 @dataclass
@@ -56,64 +60,88 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iterations: int = 200,
     num_partitions: int | None = None,
-    local_checkpoint_every: int = 8,
+    local_checkpoint_every: int = 8,  # kept for API compat; truncation is per-iteration
     checkpoint_store=None,
 ) -> ComponentsResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
 
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
-    und = undirected_edges(edges).repartition(nparts, "src").persist()
+
+    # dictionary encoding: string id → long vid (one-time)
+    vmap = (
+        verts.withColumn("vid", F.monotonically_increasing_id())
+        .repartition(nparts, "id")
+        .persist()
+    )
+    vmap.count()
+    und_str = undirected_edges(edges)
+    und = (
+        und_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+        .repartition(nparts, "src")
+        .persist()
+    )
     und.count()
 
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
         start_iter = checkpoint_store.latest_iteration()
+        # checkpointed labels carry string ids/components → re-encode both
+        st = checkpoint_store.read_state(spark, start_iter)
         labels = (
-            checkpoint_store.read_state(spark, start_iter)
-            .select("id", "component")
-            .repartition(nparts, "id")
-            .localCheckpoint(eager=True)
+            st.join(vmap.select("id", "vid"), "id")
+            .join(
+                vmap.select(F.col("id").alias("component"), F.col("vid").alias("lbl")),
+                "component",
+            )
+            .select("vid", "lbl")
         )
     else:
-        labels = (
-            verts.select("id", F.col("id").alias("component"))
-            .repartition(nparts, "id")
-            .localCheckpoint(eager=True)
-        )
+        labels = vmap.select("vid", F.col("vid").alias("lbl"))
+    labels = labels.repartition(nparts, "vid").localCheckpoint(eager=False)
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     converged = False
     it = start_iter
     for it in range(start_iter + 1, start_iter + max_iterations + 1):
-        nbr_min = (
-            und.join(labels, und.src == labels.id, "inner")
-            .select(F.col("dst").alias("nid"), "component")
-            .groupBy("nid")
-            .agg(F.min("component").alias("nbr_min"))
+        # ONE shuffle: neighbor-label rows ∪ own rows → groupBy(vid).min.
+        # own rows carry the previous label in the `old` slot (neighbor rows
+        # carry +inf there), so `changed` needs no join.
+        nbr = (
+            und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
+            .select(F.col("dst").alias("vid"), "lbl", F.lit(INF_LABEL).alias("old"))
         )
-        joined = (
-            labels.join(nbr_min, labels.id == F.col("nid"), "left")
-            .select(
-                "id",
-                F.col("component").alias("old"),
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            # localCheckpoint every superstep: materializes AND truncates
-            # lineage (plan references previous labels twice → exponential
-            # growth otherwise — same failure mode as the PageRank loop)
-            .localCheckpoint(eager=True)
+        own = labels.select("vid", "lbl", F.col("lbl").alias("old"))
+        new_labels = (
+            nbr.unionByName(own)
+            .groupBy("vid")
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+            .localCheckpoint(eager=False)
         )
-        changed = joined.filter(F.col("component") != F.col("old")).count()
-        new_labels = joined.select("id", "component")
+        changed = new_labels.filter(F.col("lbl") != F.col("old")).count()
+        labels = new_labels.select("vid", "lbl")
         if checkpoint_store is not None:
             checkpoint_store.write_iteration(
-                new_labels, iteration=it, metrics={"changed_labels": int(changed)}
+                _decode(labels, vmap), iteration=it, metrics={"changed_labels": int(changed)}
             )
-        labels = new_labels
         if changed == 0:
             converged = True
             break
 
+    out = _decode(labels, vmap)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     und.unpersist()
-    return ComponentsResult(labels=labels, iterations=it, converged=converged)
+    return ComponentsResult(labels=out, iterations=it, converged=converged)
+
+
+def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:
+    """(vid, lbl) → (id, component) with component = lexicographic MIN
+    string id of the component (oracle-exact), via a one-time relabel:
+    the per-component min-vid partition is identical to the min-string
+    partition; only the representative name changes."""
+    with_id = labels.join(vmap.select("vid", "id"), "vid").select("id", "lbl")
+    canon = with_id.groupBy("lbl").agg(F.min("id").alias("component"))
+    return with_id.join(canon, "lbl").select("id", "component")

@@ -2,20 +2,25 @@
 
 BASELINE.json north_star: "label propagation community detection" with
 labels matching the oracle EXACTLY. Classic async LPA is order-dependent;
-for exact-match determinism this is the SYNCHRONOUS variant with a total
-tie-break order, so the result is invariant to partition count and edge
-order (SURVEY.md §7 hard-part 3):
+this is the SYNCHRONOUS variant with a total tie-break order, so the
+result is invariant to partition count and edge order (SURVEY.md §7 hard
+part 3):
 
-    per iteration, every vertex adopts the label that is most frequent
-    among its undirected multiset of neighbors (parallel edges count once
-    per direction-collapsed edge); ties → smallest label (string order);
-    isolated vertices keep their label; fixed iteration count K (sync LPA
-    need not converge — it can 2-cycle on bipartite structures).
+    per iteration, every vertex adopts the most frequent label among its
+    undirected neighbor set; ties → smallest label; isolated vertices
+    keep their label; fixed iteration count K (sync LPA need not converge
+    — it can 2-cycle on bipartite structures).
 
-Physical: neighbor-label frequency = (edges ⋈ labels) → groupBy(dst,
-label).count; argmax via row_number over Window(partitionBy dst, orderBy
-count desc, label asc) — one shuffle per superstep on the edge table's
-src key plus one |V|-sized window, map-side combined.
+Physical design (same substrate as PageRank/CC):
+- ids AND labels are dictionary-encoded in the loop, with vids assigned
+  in STRING-sorted order (row_number over id) so long-vid comparisons ARE
+  string-order comparisons — the min-label tie-break stays oracle-exact
+  while the loop shuffles only 8-byte keys.
+- per superstep: neighbor-label rows ∪ own-label keeper rows (count 0,
+  so isolated vertices keep their label and occupied vertices never beat
+  a real neighbor count) → groupBy(vid, lbl).sum → argmax via one Window
+  partitionBy(vid) ordered by (count desc, lbl asc). Two shuffles.
+- per-iteration lazy localCheckpoint truncates lineage; one action each.
 """
 
 from __future__ import annotations
@@ -39,37 +44,67 @@ def label_propagation(
     vertices: DataFrame | None = None,
     iterations: int = 10,
     num_partitions: int | None = None,
-    local_checkpoint_every: int = 8,
+    local_checkpoint_every: int = 8,  # kept for API compat
     checkpoint_store=None,
 ) -> LPAResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
 
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
-    und = undirected_edges(edges).repartition(nparts, "src").persist()
+
+    # one-time encoding with vids in STRING-sorted order (row_number) so
+    # long-vid tie-breaks ≡ min-string tie-breaks. The unpartitioned Window
+    # is a one-time global sort; at extreme scale swap for a
+    # range-partitioned rank (sortWithinPartitions + partition offsets).
+    w_all = Window.orderBy("id")
+    vmap = (
+        verts.withColumn("vid", F.row_number().over(w_all).cast("long"))
+        .repartition(nparts, "id")
+        .persist()
+    )
+    vmap.count()
+    # NOTE: with vid = row_number in string order, vid order ≡ string order,
+    # so min-vid tie-breaks are exactly min-string tie-breaks.
+    und = (
+        undirected_edges(edges)
+        .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+        .repartition(nparts, "src")
+        .persist()
+    )
     und.count()
 
-    labels = verts.select("id", F.col("id").alias("label")).repartition(nparts, "id").localCheckpoint(eager=True)
-    w = Window.partitionBy("nid").orderBy(F.desc("cnt"), F.asc("label"))
+    labels = vmap.select("vid", F.col("vid").alias("lbl")).repartition(nparts, "vid").localCheckpoint(eager=False)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
     for it in range(1, iterations + 1):
-        freq = (
-            und.join(labels, und.src == labels.id, "inner")
-            .select(F.col("dst").alias("nid"), "label")
-            .groupBy("nid", "label")
-            .agg(F.count("*").alias("cnt"))
+        nbr = (
+            und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
+            .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
         )
-        best = freq.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).select(
-            "nid", F.col("label").alias("new_label")
+        keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))  # isolated keep own
+        freq = nbr.unionByName(keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
+        labels = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "lbl")
+            .localCheckpoint(eager=False)
         )
-        # lineage truncated every superstep (plan doubles otherwise)
-        new_labels = (
-            labels.join(best, labels.id == F.col("nid"), "left")
-            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels.count()  # materialize + truncate each superstep
         if checkpoint_store is not None:
-            checkpoint_store.write_iteration(new_labels, iteration=it, metrics={})
-        labels = new_labels
+            checkpoint_store.write_iteration(_decode(labels, vmap), iteration=it, metrics={})
 
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     und.unpersist()
-    return LPAResult(labels=labels, iterations=iterations)
+    return LPAResult(labels=_decode(labels, vmap), iterations=iterations)
+
+
+def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:
+    out = (
+        labels.join(vmap.select("vid", "id"), "vid")
+        .join(vmap.select(F.col("vid").alias("lbl"), F.col("id").alias("label")), "lbl")
+        .select("id", "label")
+    )
+    return out

