@@ -180,16 +180,16 @@ def generate(sf: float, seed: int = 42) -> SourceTable:
                 }
             )
 
-    # isolated ring of repos: i requires i+1 (mod ring) from its entry file
+    # isolated ring of repos: i requires i+1 (mod ring) from its entry file.
+    # O(1) row lookup via index (a linear scan per ring repo is O(n_ring·n)
+    # — measured pathological at sf≥1)
+    row_index = {(r["repo"], r["path"]): i for i, r in enumerate(rows)}
     for a, b in zip(ring_idx, ring_idx[1:] + ring_idx[:1]):
         repo, (path, stem, lang) = repo_names[a], repo_files[a][0]
         c = COMMENT[lang]
-        # rewrite entry-file content of ring repo a to add the ring edge
-        for row in rows:
-            if row["repo"] == repo and row["path"] == path:
-                row["content"] += f"{c} requires: {repo_names[b]}\n"
-                row["content_sha256"] = hashlib.sha256(row["content"].encode()).hexdigest()
-                break
+        row = rows[row_index[(repo, path)]]
+        row["content"] += f"{c} requires: {repo_names[b]}\n"
+        row["content_sha256"] = hashlib.sha256(row["content"].encode()).hexdigest()
         edges_src.append(vkey(a, 0))
         edges_dst.append(vkey(b, 0))
         edges_kind.append("requires")

@@ -112,13 +112,12 @@ def _perm_params(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signatures(
-    docs: DataFrame, num_perm: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """→ (doc_id, sig: array<long>[num_perm]). Pure Catalyst: shingle →
-    xxhash64 → per-permutation universal hash (a·h+b mod 2⁶¹−1) → min."""
-    hashes = F.transform(shingles(F.col(text_col), n), lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P)
-    doc = docs.select(F.col(id_col), hashes.alias("hs"))
+def _signatures_from_shingles(sh_base: DataFrame, num_perm: int, id_col: str) -> DataFrame:
+    """(_id, shs: array<string>) → (id_col, sig: array<long>[num_perm])."""
+    doc = sh_base.select(
+        F.col("_id").alias(id_col),
+        F.transform("shs", lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P).alias("hs"),
+    )
 
     def perm_fn(a: int, b: int):
         # factory → single-arg lambda (extra default args would change the
@@ -130,6 +129,15 @@ def minhash_signatures(
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
     return doc.select(id_col, F.array(*mins).alias("sig"))
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, sig: array<long>[num_perm]). Pure Catalyst: shingle →
+    xxhash64 → per-permutation universal hash (a·h+b mod 2³¹−1) → min."""
+    sh_base = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs"))
+    return _signatures_from_shingles(sh_base, num_perm, id_col)
 
 
 def minhash_lsh_pairs(
@@ -149,7 +157,13 @@ def minhash_lsh_pairs(
     → (a, b, jaccard)."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    # the shingle set feeds BOTH the signature path and the exact-Jaccard
+    # rerank — materialize it once (regex+normalize over full text is the
+    # expensive scan)
+    sh_base = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs")
+    ).persist()
+    sig = _signatures_from_shingles(sh_base, num_perm, id_col)
     band_rows = sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -169,8 +183,8 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .distinct()
     )
-    # exact-Jaccard rerank of candidates only
-    sh = docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+    # exact-Jaccard rerank of candidates only (reuses the cached shingles)
+    sh = sh_base.select("_id", F.explode("shs").alias("sh")).distinct()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("_id").alias("a"), "sh"), "a")

@@ -75,3 +75,18 @@ def test_cc_checkpoint_resume(spark, small_rows, tmp_path):
     resumed = {r["id"]: r["component"] for r in res.labels.collect()}
     assert resumed == full
     assert store.metrics()[store.latest_iteration()]["changed_labels"] == 0
+
+
+def test_repo_table_manifest_reader(spark, sf0001_fixture):
+    from pagerank_project_spark.sources.repo_table import (
+        ManifestError,
+        read_manifest,
+        read_source_table,
+    )
+
+    df = read_source_table(spark, sf0001_fixture, verify_rows=True)
+    assert set(df.columns) >= {"repo", "path", "commit", "lang", "content", "content_sha256"}
+    m = read_manifest(sf0001_fixture)
+    assert m["rows"] == df.count()
+    with pytest.raises(ManifestError):
+        read_manifest("/tmp/does-not-exist")
