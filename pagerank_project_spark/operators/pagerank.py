@@ -41,16 +41,20 @@ Scale notes (100 TB / 1000-executor design):
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pagerank_project_spark.config import PageRankConfig
 
-# broadcast dimension/rank tables when |V| is below this (driver-known)
-# bound; measured: long-key broadcast still wins at 1M vertices, strings do
-# not — internal ids are longs, so the limit is sized for 16-byte rows
-BROADCAST_VERTEX_LIMIT = 4_000_000
+# broadcast dimension/rank tables only when |V| is below this bound.
+# Measured at 4M vertices (sf4): building the broadcast HashedRelation is
+# SERIAL (~1M rows/s) and repeats every iteration → 4-6 s/superstep and
+# negative core-scaling, while the co-partitioned shuffle join (state is
+# already hash-partitioned on the join key) runs in ~1 s and scales.
+# Broadcast only pays off for genuinely small graphs.
+BROADCAST_VERTEX_LIMIT = 100_000
 
 
 @dataclass
@@ -61,6 +65,8 @@ class PageRankResult:
     converged: bool
     n_vertices: int
     n_edges: int
+    setup_sec: float = 0.0  # one-time graph build (encode/weight/partition)
+    iter_secs: list[float] = None  # wall per superstep (first 1-2 incl. codegen warmup)
 
 
 def build_vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
@@ -130,6 +136,7 @@ def pagerank(
     """
     cfg = cfg or PageRankConfig()
     sc = spark.sparkContext
+    t_start = time.time()
 
     verts = build_vertices(edges, vertices)
     n = verts.count()
@@ -223,6 +230,8 @@ def pagerank(
     residuals: list[float] = []
     converged = False
     it = start_iter
+    setup_sec = time.time() - t_start
+    iter_secs: list[float] = []
 
     # AQE's per-stage re-planning costs ~30% per superstep (measured at sf1)
     # and buys nothing in a loop whose shape/partitioning is fixed — disable
@@ -231,6 +240,7 @@ def pagerank(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     for it in range(start_iter, start_iter + cfg.max_iterations):
+        t_it = time.time()
         # SpMV gather-scatter: α·Pᵀx (pagerank.py:126-132)
         rank_side = cur.select(F.col("id").alias("_src"), "rank")
         if n <= BROADCAST_VERTEX_LIMIT:
@@ -321,7 +331,16 @@ def pagerank(
                 },
             )
 
-        cur = new_state  # old checkpoint RDDs are GC-cleaned by ContextCleaner
+        cur = new_state
+        iter_secs.append(time.time() - t_it)
+
+        # old checkpoint RDDs are freed by ContextCleaner once the Python
+        # references die — nudge the collector periodically so long runs
+        # don't accumulate stale cached state
+        if (it + 1) % 8 == 0:
+            import gc
+
+            gc.collect()
 
         # stop rule: reference = L2 residual (pagerank.py:136-137);
         # 'l1_delta' = BASELINE.json bench criterion (L1 delta < ε)
@@ -344,6 +363,8 @@ def pagerank(
     ew.unpersist()
     return PageRankResult(
         ranks=result,
+        setup_sec=round(setup_sec, 3),
+        iter_secs=[round(x, 3) for x in iter_secs],
         iterations=it - start_iter,
         residuals=residuals,
         converged=converged,

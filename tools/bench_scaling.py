@@ -35,16 +35,17 @@ files = spark.read.parquet(f"{fix}/source_table/data")
 edges = extract_edges(files, verify_sha=False).persist()
 n_edges = edges.count()
 verts = vertices_from_files(files).persist(); verts.count()
-cfg = PageRankConfig(mode="reference", epsilon=1e-300, max_iterations=3, strategy=strategy)
-pagerank(spark, edges, vertices=verts, cfg=cfg)  # warmup (plans, codegen)
 cfg = PageRankConfig(mode="reference", epsilon=1e-300, max_iterations=iters, strategy=strategy)
 t0 = time.time()
 res = pagerank(spark, edges, vertices=verts, cfg=cfg)
 dt = time.time() - t0
+steady = sorted(res.iter_secs[2:])  # first 2 supersteps carry codegen/shuffle warmup
+med = steady[len(steady) // 2]
 print(json.dumps({"cpus": cpus, "sf": sf, "strategy": strategy, "n_edges": n_edges,
                   "n_vertices": res.n_vertices, "iters": res.iterations, "wall_sec": round(dt, 2),
-                  "sec_per_iter": round(dt / res.iterations, 3),
-                  "edges_per_sec_per_superstep": round(n_edges * res.iterations / dt, 1)}))
+                  "setup_sec": res.setup_sec, "iter_secs": res.iter_secs,
+                  "sec_per_iter": med,
+                  "edges_per_sec_per_superstep": round(n_edges / med, 1)}))
 """
 
 
