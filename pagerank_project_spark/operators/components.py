@@ -34,9 +34,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-INF_LABEL = 1 << 62
-
-
 @dataclass
 class ComponentsResult:
     labels: DataFrame  # (id: string, component: string)
@@ -68,13 +65,22 @@ def connected_components(
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
 
-    # dictionary encoding: string id → long vid (one-time)
-    vmap = (
-        verts.withColumn("vid", F.monotonically_increasing_id())
-        .repartition(nparts, "id")
-        .persist()
-    )
-    vmap.count()
+    # dictionary encoding: string id → long vid (one-time). xxhash64 is
+    # deterministic under partition recompute (monotonically_increasing_id
+    # is not — silent corruption after executor loss); collision → sorted
+    # row_number fallback (see operators/pagerank.py).
+    vmap = verts.withColumn("vid", F.xxhash64("id")).repartition(nparts, "id").persist()
+    counts = vmap.agg(F.count("*").alias("n"), F.count_distinct("vid").alias("nv")).first()
+    if counts["nv"] != counts["n"]:
+        from pyspark.sql import Window
+
+        vmap.unpersist()
+        vmap = (
+            verts.withColumn("vid", F.row_number().over(Window.orderBy("id")).cast("long"))
+            .repartition(nparts, "id")
+            .persist()
+        )
+        vmap.count()
     und_str = undirected_edges(edges)
     und = (
         und_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
@@ -109,10 +115,11 @@ def connected_components(
     for it in range(start_iter + 1, start_iter + max_iterations + 1):
         # ONE shuffle: neighbor-label rows ∪ own rows → groupBy(vid).min.
         # own rows carry the previous label in the `old` slot (neighbor rows
-        # carry +inf there), so `changed` needs no join.
+        # carry NULL there — min ignores nulls; labels are arbitrary signed
+        # hashes, so no +inf sentinel exists), so `changed` needs no join.
         nbr = (
             und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
-            .select(F.col("dst").alias("vid"), "lbl", F.lit(INF_LABEL).alias("old"))
+            .select(F.col("dst").alias("vid"), "lbl", F.lit(None).cast("long").alias("old"))
         )
         own = labels.select("vid", "lbl", F.col("lbl").alias("old"))
         new_labels = (

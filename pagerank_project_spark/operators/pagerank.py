@@ -175,18 +175,33 @@ def pagerank(
 
     # --- internal dictionary encoding: string id → long vid ----------------
     # Long join keys halve shuffle bytes and double measured superstep speed
-    # (4.0 → 2.0 s/iter at 1M vertices / 4M edges, local[8]). vids come from
-    # monotonically_increasing_id — unique but sparse, no global-sort
-    # bottleneck at 10^12-vertex scale. String ids reappear only at the API
-    # and checkpoint boundaries (checkpoints stay portable across runs whose
-    # vid assignment differs).
+    # (4.0 → 2.0 s/iter at 1M vertices / 4M edges, local[8]). vid =
+    # xxhash64(id): DETERMINISTIC under partition loss/recompute —
+    # monotonically_increasing_id is not, and a recomputed cache partition
+    # with reshuffled row order silently corrupts every already-encoded
+    # edge (observed as garbage convergence after an executor OOM in
+    # local-cluster testing). Collisions are checked (birthday bound ~2e-7
+    # at 4M vertices) and fall back to a sorted row_number; at 10^12
+    # vertices swap the fallback for a range-partitioned rank. String ids
+    # reappear only at the API and checkpoint boundaries.
     vmap = (
-        state.withColumn("vid", F.monotonically_increasing_id())
+        state.withColumn("vid", F.xxhash64("id"))
         .select("id", "vid", "dang", "v_raw")
         .repartition(nparts, "id")
         .persist()
     )
-    vmap.count()
+    counts = vmap.agg(F.count("*").alias("n"), F.count_distinct("vid").alias("nv")).first()
+    if counts["nv"] != counts["n"]:  # hash collision → deterministic fallback
+        from pyspark.sql import Window
+
+        vmap.unpersist()
+        vmap = (
+            state.withColumn("vid", F.row_number().over(Window.orderBy("id")).cast("long"))
+            .select("id", "vid", "dang", "v_raw")
+            .repartition(nparts, "id")
+            .persist()
+        )
+        vmap.count()
     ew_enc = (
         ew_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
         .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
