@@ -310,7 +310,12 @@ def pagerank(
             F.sum(F.col("nx") * F.col("dang")).alias("dmass"),
         ).first()
         s = s_row["l1"] if cfg.norm_x == "l1" else math.sqrt(s_row["nx2"])
-        resid = math.sqrt(max(0.0, s_row["nx2"] / (s * s) - 2.0 * s_row["nxold"] / s + s_row["old2"]))
+        raw = s_row["nx2"] / (s * s) - 2.0 * s_row["nxold"] / s + s_row["old2"]
+        if math.isnan(raw):  # never mistake a NaN for convergence
+            raise ArithmeticError(f"non-finite superstep stats at iteration {it}: {s_row}")
+        # the decomposition can go slightly negative at the fp noise floor
+        # once ‖x'−x‖ ≲ 1e-10·‖x‖ — clamp to 0 (genuine convergence)
+        resid = math.sqrt(max(0.0, raw))
         d = s_row["dmass"] / s
         residuals.append(resid)
 
