@@ -42,6 +42,10 @@ spark = (SparkSession.builder.master(f"local-cluster[{nexec},{cores_per},13312]"
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.ui.enabled", "false")
+         # executor-side python workers must import pagerank_project_spark
+         # (the CSR path ships pandas-UDF closures); on a real cluster this
+         # is the --py-files zip from tools/submit.sh
+         .config("spark.executorEnv.PYTHONPATH", "/root/repo")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 fix = ensure_fixture(sf)
