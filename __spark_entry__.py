@@ -124,7 +124,9 @@ def q_cc_iter5(spark, sf_dir):
     from pagerank_project_spark.operators.components import connected_components
 
     e = _cs_edges(spark, sf_dir)
-    res = connected_components(spark, e, max_iterations=5)
+    # propagation mode: exactly 5 min-label supersteps ≡ the unrolled SQL
+    # oracle (the star default would converge in fewer, different rounds)
+    res = connected_components(spark, e, max_iterations=5, algorithm="propagation")
     return res.labels.select("id", "component")
 
 
@@ -260,6 +262,29 @@ def q_code_pagerank_csr_top50(spark, sf_dir):
     )
 
 
+def q_code_pagerank_k3(spark, sf_dir):
+    """Fixed-3-iteration textbook PageRank over the code graph (vertex
+    universe = ALL files, isolated included) — SQL-oracle-checkable."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    edges, verts = _code_graph(spark, sf_dir)
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, edges, vertices=verts, cfg=cfg)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_code_cc_iter5(spark, sf_dir):
+    """Exactly 5 min-label propagation supersteps over the code graph —
+    intermediate (unconverged) labels, oracle-exact thanks to the
+    string-sorted vid encoding."""
+    from pagerank_project_spark.operators.components import connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    res = connected_components(spark, edges, vertices=verts, max_iterations=5, algorithm="propagation")
+    return res.labels.select("id", "component")
+
+
 def q_code_cc_sizes(spark, sf_dir):
     from pagerank_project_spark.operators.components import connected_components
 
@@ -292,6 +317,16 @@ def q_code_triangles(spark, sf_dir):
     edges, _ = _code_graph(spark, sf_dir)
     res = triangle_count(spark, edges)
     return spark.createDataFrame([(res.total,)], "n_triangles long")
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Corpus-derived synonym table (PPMI-cosine, the GloVe stand-in for
+    reference op-20 query expansion) — fully SQL-expressible."""
+    from pagerank_project_spark.functions.synonyms import build_synonym_table
+
+    return build_synonym_table(
+        _t(spark, sf_dir, "documents"), min_count=20, topn=3
+    ).select("word", "neighbor", F.round("sim", 6).alias("sim"))
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -328,13 +363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
-        # rows-only: synthetic source-code fixture + approximate/iterative ops
+        # synthetic source-code fixture (SQL oracles over the same parquet
+        # where expressible; convergence/CSR paths stay rows-only)
         "code_extract_summary": q_code_extract_summary,
+        "code_pagerank_k3": q_code_pagerank_k3,
         "code_pagerank_top50": q_code_pagerank_top50,
         "code_pagerank_csr_top50": q_code_pagerank_csr_top50,
+        "code_cc_iter5": q_code_cc_iter5,
         "code_cc_sizes": q_code_cc_sizes,
         "code_lpa_communities": q_code_lpa_communities,
         "code_triangles": q_code_triangles,
+        "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -345,12 +384,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-def _pagerank_k3_sql() -> str:
+def _pagerank_k3_sql(e_sql: str | None = None, v_sql: str | None = None) -> str:
     """Unrolled 3-iteration textbook PageRank (standard mode: v L1, x L1;
-    x0 = 1/√n; same per-iteration dataflow as pagerank.py:100-139)."""
+    x0 = 1/√n; same per-iteration dataflow as pagerank.py:100-139).
+    e_sql/v_sql parameterize the edge table and vertex universe (default:
+    the customer→supplier graph with endpoint-derived vertices)."""
+    e_sql = e_sql or CS_EDGES_SQL
+    v_sql = v_sql or "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)"
     head = f"""
-WITH e AS ({CS_EDGES_SQL}),
-v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+WITH e AS ({e_sql}),
+v AS ({v_sql}),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
 od AS (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
 w AS (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
@@ -371,12 +414,14 @@ raw{k} AS (
     return head + body + "\nSELECT id, ROUND(x, 6) AS rank FROM x3"
 
 
-def _cc_iter5_sql() -> str:
+def _cc_iter5_sql(e_sql: str | None = None, v_sql: str | None = None) -> str:
+    e_sql = e_sql or CS_EDGES_SQL
+    v_sql = v_sql or "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)"
     head = f"""
-WITH e AS ({CS_EDGES_SQL}),
+WITH e AS ({e_sql}),
 ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
 und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
-v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+v AS ({v_sql}),
 l0 AS (SELECT id, id AS component FROM v)
 """
     body = ""
@@ -477,6 +522,142 @@ WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
 """
 
 
+def _code_fixture_dir() -> str:
+    """The synthetic source-code fixture the code_* queries read. The
+    driver compares at sf=0.01 (override via SPARK_GRAFT_ORACLE_SF, which
+    tools/check_contract.py sets from its sf_dir); generating is cached
+    and cheap at these scales, so the oracle SQL can always point at real
+    parquet files."""
+    from pagerank_project_spark.datagen import ensure_fixture
+
+    sf = float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
+    return ensure_fixture(sf)
+
+
+def _code_e_sql(fix: str) -> str:
+    """The code link graph from the fixture's intended-edge table. Edge
+    extraction is verified separately (pytest exact set equality +
+    code_extract_summary's regex-level oracle below), so intended ≡
+    extracted and the graph-algorithm oracles stay independent of the
+    extraction SQL."""
+    return f"SELECT src, dst FROM read_parquet('{fix}/intended_edges/*.parquet')"
+
+
+def _code_v_sql(fix: str) -> str:
+    return (
+        "SELECT repo || ':' || regexp_replace(path, '\\.[a-z]+$', '') AS id "
+        f"FROM read_parquet('{fix}/source_table/data/*.parquet')"
+    )
+
+
+def _code_extract_summary_sql(fix: str) -> str:
+    """Regex-level replication of operators/extract.py in DuckDB (RE2 on
+    both sides; (?m) inline flags identical)."""
+    stem = "regexp_replace(path, '\\.[a-z]+$', '')"
+    return f"""
+WITH files AS (SELECT * FROM read_parquet('{fix}/source_table/data/*.parquet')),
+dim AS (SELECT repo, {stem} AS stem, repo || ':' || {stem} AS vid FROM files),
+refs AS (
+  SELECT repo, repo || ':' || {stem} AS src, lang,
+    unnest(CASE
+      WHEN lang = 'python' THEN regexp_extract_all(content, '(?m)^from\\s+([\\w.]+)\\s+import\\b', 1)
+      WHEN lang = 'js'     THEN regexp_extract_all(content, '(?m)^import\\s+\\w+\\s+from\\s+"\\./([\\w/]+)";', 1)
+      WHEN lang = 'java'   THEN regexp_extract_all(content, '(?m)^import\\s+([\\w.]+);', 1)
+      WHEN lang = 'go'     THEN regexp_extract_all(content, '(?m)^import\\s+"([\\w/]+)"', 1)
+      ELSE []::VARCHAR[] END) AS ref
+  FROM files),
+imports AS (
+  SELECT r.src FROM
+    (SELECT repo, src,
+            CASE WHEN lang IN ('python', 'java') THEN replace(ref, '.', '/') ELSE ref END AS ref_stem
+     FROM refs) r
+  JOIN dim d ON r.repo = d.repo AND r.ref_stem = d.stem),
+reqs AS (
+  SELECT repo || ':' || {stem} AS src,
+         unnest(regexp_extract_all(content, '(?m)requires:\\s+([\\w./-]+)', 1)) AS target_repo
+  FROM files),
+entry AS (SELECT repo AS target_repo FROM dim WHERE stem = 'src/mod0/file0'),
+requires AS (SELECT r.src FROM reqs r JOIN entry e USING (target_repo)),
+all_e AS (SELECT 'import' AS kind FROM imports UNION ALL SELECT 'requires' AS kind FROM requires)
+SELECT kind, COUNT(*)::BIGINT AS n_edges FROM all_e GROUP BY kind ORDER BY kind
+"""
+
+
+def _code_lpa_sql(fix: str, iterations: int = 4) -> str:
+    """Unrolled synchronous LPA (neighbor-label frequency, ties → min
+    string label; isolated keep own) → community-size histogram."""
+    head = f"""
+WITH e AS ({_code_e_sql(fix)}),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+v AS ({_code_v_sql(fix)}),
+l0 AS (SELECT id, id AS lbl FROM v)
+"""
+    body = ""
+    for k in range(iterations):
+        p, c = f"l{k}", f"l{k + 1}"
+        body += f""",
+f{k} AS (
+  SELECT id, lbl, SUM(cnt) AS cnt FROM (
+    SELECT u.dst AS id, x.lbl AS lbl, 1 AS cnt FROM und u JOIN {p} x ON u.src = x.id
+    UNION ALL SELECT id, lbl, 0 AS cnt FROM {p}
+  ) GROUP BY id, lbl
+),
+{c} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn FROM f{k}
+  ) WHERE rn = 1
+)
+"""
+    tail = f"""
+SELECT size, COUNT(*)::BIGINT AS n_communities FROM (
+  SELECT lbl, COUNT(*)::BIGINT AS size FROM l{iterations} GROUP BY lbl
+) GROUP BY size
+"""
+    return head + body + tail
+
+
+def _code_triangles_sql(fix: str) -> str:
+    return f"""
+WITH e AS ({_code_e_sql(fix)}),
+und AS (SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2 FROM e WHERE src <> dst)
+SELECT COUNT(*)::BIGINT AS n_triangles
+FROM und ab JOIN und ac ON ab.s1 = ac.s1 AND ab.s2 < ac.s2
+JOIN und bc ON bc.s1 = ab.s2 AND bc.s2 = ac.s2
+"""
+
+
+def _synonym_topk_sql(min_count: int = 20, topn: int = 3) -> str:
+    """PPMI-cosine distributional synonyms (functions/synonyms.py) in SQL."""
+    return f"""
+WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
+dw AS (SELECT DISTINCT doc_id, unnest(str_split(t, ' ')) AS word FROM nt),
+dwne AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+wc AS (SELECT word, COUNT(*) AS cnt FROM dwne GROUP BY word HAVING COUNT(*) >= {min_count}),
+dwf AS (SELECT d.doc_id, d.word, c.cnt FROM dwne d JOIN wc c USING (word)),
+pairs AS (
+  SELECT x.word AS a, y.word AS b, x.cnt AS ca, y.cnt AS cb, COUNT(*) AS cab
+  FROM dwf x JOIN dwf y ON x.doc_id = y.doc_id AND x.word < y.word
+  GROUP BY 1, 2, 3, 4),
+ppmi AS (
+  SELECT a, b, ln(nn.n * cab / (ca * cb)) AS w FROM pairs, nn
+  WHERE ln(nn.n * cab / (ca * cb)) > 0),
+vec AS (SELECT a AS word, b AS ctx, w FROM ppmi UNION ALL SELECT b AS word, a AS ctx, w FROM ppmi),
+nrm AS (SELECT word, sqrt(SUM(w * w)) AS nrm FROM vec GROUP BY word),
+sims AS (
+  SELECT p.word AS word, q.word AS neighbor, SUM(p.w * q.w) AS dot
+  FROM vec p JOIN vec q ON p.ctx = q.ctx AND p.word <> q.word
+  GROUP BY 1, 2),
+scored AS (
+  SELECT s.word, s.neighbor, ROUND(s.dot / (n1.nrm * n2.nrm), 6) AS sim
+  FROM sims s JOIN nrm n1 ON s.word = n1.word JOIN nrm n2 ON s.neighbor = n2.word),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY word ORDER BY sim DESC, neighbor ASC) AS rn FROM scored)
+SELECT word, neighbor, sim FROM ranked WHERE rn <= {topn}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "degree_distribution": f"""
@@ -543,4 +724,17 @@ SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY 1, 2
 """,
+        "synonym_topk": _synonym_topk_sql(min_count=20, topn=3),
+        **_code_oracles(),
+    }
+
+
+def _code_oracles() -> dict[str, str]:
+    fix = _code_fixture_dir()
+    return {
+        "code_extract_summary": _code_extract_summary_sql(fix),
+        "code_pagerank_k3": _pagerank_k3_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
+        "code_cc_iter5": _cc_iter5_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
+        "code_lpa_communities": _code_lpa_sql(fix, iterations=4),
+        "code_triangles": _code_triangles_sql(fix),
     }

@@ -55,6 +55,8 @@ class PageRankConfig:
     # semantics
     mode: str = "reference"  # reference | l2l2 | standard | l2l1
     convergence: str = "l2_residual"  # l2_residual (reference) | l1_delta (bench)
+    # semantics guards
+    validate_vertices: bool = True  # assert edge endpoints ⊆ supplied vertices
     # physical
     strategy: str = "relational"  # relational | csr
     num_partitions: int | None = None  # None → spark.sql.shuffle.partitions

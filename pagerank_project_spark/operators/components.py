@@ -1,31 +1,50 @@
-"""Connected components — iterative min-label hash propagation.
+"""Connected components — large-star/small-star contraction + min-label
+propagation.
 
 BASELINE.json north_star: "connected components via iterative min-label
 hash propagation", labels must match the oracle EXACTLY. Component label
 = lexicographic min vertex id of the component (deterministic, partition-
 count and edge-order invariant).
 
-Physical design (mirrors the PageRank superstep, operators/pagerank.py):
+Two algorithms over the same substrate:
 
-- vertex ids are dictionary-encoded to longs once; iteration state and
-  edges shuffle 8-byte keys/labels (strings measured 2× slower). The
-  final component representative is restored EXACTLY as the lexicographic
-  min string id by a one-time post-convergence relabel (min-vid and
-  min-string orders differ; convergence itself is order-independent —
-  propagation of ANY total-order minimum reaches the same fixed point
-  partition of vertices).
-- each superstep is ONE map-side-combined shuffle: neighbor-label rows
-  UNION own-label rows → groupBy(vid).min. The own row carries the old
-  label through a second min over (old-slot) so the changed-count needs no
-  join.
-- ONE action per superstep: a lazily local-checkpointed agg that
-  materializes the state, truncates lineage (plan would otherwise double
-  per iteration), and returns the changed-label count.
+- ``star`` (default, the convergence/scale path): alternating
+  large-star / small-star edge contraction (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14). Each round:
 
-Converges in O(diameter) supersteps. For giant diameters the large-star/
-small-star contraction (Kiveris et al., "Connected Components in
-MapReduce and Beyond") is the upgrade path; plain propagation is exact
-and is what the oracle checks.
+      large-star: for every vertex u with symmetric neighborhood Γ(u),
+                  m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      small-star: orient edges (max → min); for every u with smaller
+                  neighbor set S(u), m = min(S(u) ∪ {u}); emit (u, m)
+                  and (v, m) for v ∈ S(u) \ {m}.
+
+  Both preserve connectivity; the fixed point is a forest of stars whose
+  root is the component minimum. Converges in O(log² n) rounds (O(log n)
+  observed) vs O(diameter) for plain propagation — the difference between
+  ~7 and ~56 supersteps on the sf0.1 fixture, and between feasible and
+  unbounded on a 10^12-vertex web graph with giant diameter. Convergence
+  test per round: (edge-count, Σ decimal xxhash64(src,dst)) in ONE agg;
+  on a stats match, one exact ``exceptAll`` count confirms set equality
+  (the checksum alone never declares convergence).
+
+- ``propagation`` (the fixed-iteration/oracle mode): per superstep ONE
+  map-side-combined shuffle — neighbor-label rows ∪ own-label rows →
+  groupBy(vid).min; the own row carries the old label so the
+  changed-count needs no join. Exactly k supersteps of min-label
+  propagation ≡ the unrolled SQL oracle (cc_iter5), because…
+
+…vertex ids are dictionary-encoded ONCE to dense longs in STRING-SORTED
+order (operators/vids.string_sorted_vids — range exchange + parallel
+per-partition sort; no global single-task sort). min over vids is then
+EXACTLY min over string ids at every intermediate superstep, so
+fixed-iteration results and mid-run checkpoints match a string-space
+oracle on ANY graph — not only those that converge within the budget.
+The loop itself shuffles only 8-byte keys/labels (strings measured 2×
+slower).
+
+Checkpoint state is algorithm-specific (labels for propagation, the
+contracted edge set for star); a store written by one algorithm refuses
+to resume under the other.
 """
 
 from __future__ import annotations
@@ -33,6 +52,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pagerank_project_spark.operators.vids import string_sorted_vids
+
 
 @dataclass
 class ComponentsResult:
@@ -51,6 +73,45 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """{(v, min(Γ⁺(u))) : v ∈ Γ(u), v > u} over the symmetrized view."""
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        sym.join(mins, sym.src == F.col("u"))
+        .filter(F.col("dst") > F.col("u"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient (max→min); per center u emit (u, m) and (v, m) for
+    v ∈ S(u) \\ {m}, m = min(S(u))."""
+    ori = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+    a = (
+        ori.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    b = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return a.unionByName(b).distinct()
+
+
+def _edge_stats(e: DataFrame) -> tuple[int, object]:
+    """(count, exact decimal Σ xxhash64(src,dst)) in one agg — the cheap
+    per-round fingerprint. Decimal sum: exact, no ANSI int64 overflow."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
+    ).first()
+    return row["n"], row["chk"]
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -59,28 +120,17 @@ def connected_components(
     num_partitions: int | None = None,
     local_checkpoint_every: int = 8,  # kept for API compat; truncation is per-iteration
     checkpoint_store=None,
+    algorithm: str = "star",  # star (contraction, default) | propagation (fixed-iteration oracle)
 ) -> ComponentsResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
 
+    if algorithm not in ("star", "propagation"):
+        raise ValueError(f"unknown algorithm {algorithm!r}; one of ['star', 'propagation']")
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
 
-    # dictionary encoding: string id → long vid (one-time). xxhash64 is
-    # deterministic under partition recompute (monotonically_increasing_id
-    # is not — silent corruption after executor loss); collision → sorted
-    # row_number fallback (see operators/pagerank.py).
-    vmap = verts.withColumn("vid", F.xxhash64("id")).repartition(nparts, "id").persist()
-    counts = vmap.agg(F.count("*").alias("n"), F.count_distinct("vid").alias("nv")).first()
-    if counts["nv"] != counts["n"]:
-        from pyspark.sql import Window
-
-        vmap.unpersist()
-        vmap = (
-            verts.withColumn("vid", F.row_number().over(Window.orderBy("id")).cast("long"))
-            .repartition(nparts, "id")
-            .persist()
-        )
-        vmap.count()
+    # string-sorted dense vids: min-vid ≡ min-string at every superstep
+    vmap = string_sorted_vids(verts, "id", nparts)
     und_str = undirected_edges(edges)
     und = (
         und_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
@@ -91,10 +141,85 @@ def connected_components(
     )
     und.count()
 
+    stored_algo = None
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
         start_iter = checkpoint_store.latest_iteration()
-        # checkpointed labels carry string ids/components → re-encode both
+        stored_algo = checkpoint_store.metrics()[start_iter].get("algorithm", "propagation")
+        if stored_algo != algorithm:
+            raise ValueError(
+                f"checkpoint store holds {stored_algo!r} state; cannot resume with algorithm={algorithm!r}"
+            )
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if algorithm == "star":
+            labels, it, converged = _run_star(
+                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter
+            )
+        else:
+            labels, it, converged = _run_propagation(
+                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    und.unpersist()
+    return ComponentsResult(labels=labels, iterations=it, converged=converged)
+
+
+def _run_star(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter):
+    if start_iter:
+        # state = the contracted edge set, stored as string pairs
+        st = checkpoint_store.read_state(spark, start_iter)
+        e = (
+            st.join(vmap.select(F.col("id"), F.col("vid").alias("_s")), "id")
+            .join(vmap.select(F.col("id").alias("component"), F.col("vid").alias("_t")), "component")
+            .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+        )
+    else:
+        e = und.filter(F.col("src") > F.col("dst"))  # canonical max→min orientation
+    e = e.repartition(nparts, "src").localCheckpoint(eager=False)
+    stats = _edge_stats(e)  # materializes the initial state
+
+    converged = False
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iterations + 1):
+        e2 = (
+            _small_star(_large_star(e))
+            .repartition(nparts, "src")
+            .localCheckpoint(eager=False)
+        )
+        stats2 = _edge_stats(e2)  # the ONE materializing action per round
+        if stats2 == stats and e2.exceptAll(e).count() == 0:
+            # fingerprint matched AND exact set equality confirmed
+            e = e2
+            converged = True
+            if checkpoint_store is not None:
+                checkpoint_store.write_iteration(
+                    _decode_edges(e, vmap), iteration=it,
+                    metrics={"algorithm": "star", "n_edges": stats2[0], "converged": True},
+                )
+            break
+        e, stats = e2, stats2
+        if checkpoint_store is not None:
+            checkpoint_store.write_iteration(
+                _decode_edges(e, vmap), iteration=it,
+                metrics={"algorithm": "star", "n_edges": stats2[0], "converged": False},
+            )
+
+    # fixed point = stars (child → component-min root); roots/isolated keep self
+    labels = (
+        vmap.select("vid")
+        .join(e.groupBy("src").agg(F.min("dst").alias("_root")), vmap.vid == F.col("src"), "left")
+        .select("vid", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
+    )
+    return _decode(labels, vmap), it, converged
+
+
+def _run_propagation(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter):
+    if start_iter:
         st = checkpoint_store.read_state(spark, start_iter)
         labels = (
             st.join(vmap.select("id", "vid"), "id")
@@ -108,15 +233,12 @@ def connected_components(
         labels = vmap.select("vid", F.col("vid").alias("lbl"))
     labels = labels.repartition(nparts, "vid").localCheckpoint(eager=False)
 
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     converged = False
     it = start_iter
     for it in range(start_iter + 1, start_iter + max_iterations + 1):
         # ONE shuffle: neighbor-label rows ∪ own rows → groupBy(vid).min.
         # own rows carry the previous label in the `old` slot (neighbor rows
-        # carry NULL there — min ignores nulls; labels are arbitrary signed
-        # hashes, so no +inf sentinel exists), so `changed` needs no join.
+        # carry NULL there — min ignores nulls), so `changed` needs no join.
         nbr = (
             und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
             .select(F.col("dst").alias("vid"), "lbl", F.lit(None).cast("long").alias("old"))
@@ -132,23 +254,30 @@ def connected_components(
         labels = new_labels.select("vid", "lbl")
         if checkpoint_store is not None:
             checkpoint_store.write_iteration(
-                _decode(labels, vmap), iteration=it, metrics={"changed_labels": int(changed)}
+                _decode(labels, vmap), iteration=it,
+                metrics={"algorithm": "propagation", "changed_labels": int(changed)},
             )
         if changed == 0:
             converged = True
             break
-
-    out = _decode(labels, vmap)
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    und.unpersist()
-    return ComponentsResult(labels=out, iterations=it, converged=converged)
+    return _decode(labels, vmap), it, converged
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:
-    """(vid, lbl) → (id, component) with component = lexicographic MIN
-    string id of the component (oracle-exact), via a one-time relabel:
-    the per-component min-vid partition is identical to the min-string
-    partition; only the representative name changes."""
-    with_id = labels.join(vmap.select("vid", "id"), "vid").select("id", "lbl")
-    canon = with_id.groupBy("lbl").agg(F.min("id").alias("component"))
-    return with_id.join(canon, "lbl").select("id", "component")
+    """(vid, lbl) → (id, component). vids are string-sorted, so the min-vid
+    label IS the lexicographic-min string id — a direct two-join decode."""
+    return (
+        labels.join(vmap.select("vid", "id"), "vid")
+        .join(vmap.select(F.col("vid").alias("lbl"), F.col("id").alias("component")), "lbl")
+        .select("id", "component")
+    )
+
+
+def _decode_edges(e: DataFrame, vmap: DataFrame) -> DataFrame:
+    """Star-mode checkpoint state: the contracted edge set as string pairs
+    (column names match the labels shape so the store stays uniform)."""
+    return (
+        e.join(vmap.select(F.col("vid").alias("src"), F.col("id")), "src")
+        .join(vmap.select(F.col("vid").alias("dst"), F.col("id").alias("component")), "dst")
+        .select("id", "component")
+    )

@@ -210,17 +210,24 @@ SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """64-bit SimHash per doc from its token-hash array (numpy bit ops)."""
+    """64-bit SimHash per doc from its token-hash array — fully vectorized
+    ACROSS the batch (no per-row Python): all token hashes concatenate
+    into one flat array with a doc-index vector; per bit, the vote count
+    is one ``np.bincount`` over the doc indices (64 constant-bound
+    passes, each O(total_tokens))."""
     for pdf in batches:
-        out = np.zeros(len(pdf), dtype=np.int64)
-        for i, hs in enumerate(pdf["hs"]):
-            h = np.asarray(hs, dtype=np.uint64)
-            if h.size == 0:
-                continue
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = np.where(bits == 1, 1, -1).sum(axis=0)
-            out[i] = np.int64(np.uint64((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))))
-        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out})
+        ndocs = len(pdf)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        lens = pdf["hs"].map(len).to_numpy(np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate([np.asarray(h, dtype=np.uint64) for h in pdf["hs"]]) if ndocs else np.empty(0, np.uint64)
+            doc_idx = np.repeat(np.arange(ndocs), lens)
+            half = lens.astype(np.float64) / 2.0  # ones > tokens/2 ⇔ votes > 0
+            for bit in range(64):
+                ones = np.bincount(doc_idx, weights=((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.float64), minlength=ndocs)
+                out |= (ones > half).astype(np.uint64) << np.uint64(bit)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out.astype(np.int64)})
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

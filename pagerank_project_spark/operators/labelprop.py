@@ -13,14 +13,20 @@ part 3):
 
 Physical design (same substrate as PageRank/CC):
 - ids AND labels are dictionary-encoded in the loop, with vids assigned
-  in STRING-sorted order (row_number over id) so long-vid comparisons ARE
-  string-order comparisons — the min-label tie-break stays oracle-exact
-  while the loop shuffles only 8-byte keys.
+  in STRING-sorted order (operators/vids.string_sorted_vids — a range
+  exchange + parallel per-partition sort + broadcast offsets; NO
+  single-task global sort) so long-vid comparisons ARE string-order
+  comparisons — the min-label tie-break stays oracle-exact while the
+  loop shuffles only 8-byte keys.
 - per superstep: neighbor-label rows ∪ own-label keeper rows (count 0,
   so isolated vertices keep their label and occupied vertices never beat
   a real neighbor count) → groupBy(vid, lbl).sum → argmax via one Window
   partitionBy(vid) ordered by (count desc, lbl asc). Two shuffles.
 - per-iteration lazy localCheckpoint truncates lineage; one action each.
+- resumable: with a checkpoint_store, the latest written iteration is
+  re-encoded and the loop continues from latest+1 (symmetric with
+  connected_components) — a restarted run never replays or duplicates
+  iterations.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pagerank_project_spark.operators.components import undirected_edges
+from pagerank_project_spark.operators.vids import string_sorted_vids
 
 
 @dataclass
@@ -52,19 +59,9 @@ def label_propagation(
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
 
-    # one-time encoding with vids in STRING-sorted order (row_number) so
-    # long-vid tie-breaks ≡ min-string tie-breaks. The unpartitioned Window
-    # is a one-time global sort; at extreme scale swap for a
-    # range-partitioned rank (sortWithinPartitions + partition offsets).
-    w_all = Window.orderBy("id")
-    vmap = (
-        verts.withColumn("vid", F.row_number().over(w_all).cast("long"))
-        .repartition(nparts, "id")
-        .persist()
-    )
-    vmap.count()
-    # NOTE: with vid = row_number in string order, vid order ≡ string order,
-    # so min-vid tie-breaks are exactly min-string tie-breaks.
+    # one-time encoding with vids in STRING-sorted order so long-vid
+    # tie-breaks ≡ min-string tie-breaks (distributed; no global sort).
+    vmap = string_sorted_vids(verts, "id", nparts)
     und = (
         undirected_edges(edges)
         .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
@@ -75,30 +72,49 @@ def label_propagation(
     )
     und.count()
 
-    labels = vmap.select("vid", F.col("vid").alias("lbl")).repartition(nparts, "vid").localCheckpoint(eager=False)
+    start_iter = 0
+    if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
+        # resume: re-encode the checkpointed (id, label) strings → (vid, lbl)
+        start_iter = checkpoint_store.latest_iteration()
+        st = checkpoint_store.read_state(spark, start_iter)
+        labels = (
+            st.join(vmap.select("id", "vid"), "id")
+            .join(vmap.select(F.col("id").alias("label"), F.col("vid").alias("lbl")), "label")
+            .select("vid", "lbl")
+        )
+    else:
+        labels = vmap.select("vid", F.col("vid").alias("lbl"))
+    labels = labels.repartition(nparts, "vid").localCheckpoint(eager=False)
+
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
-    for it in range(1, iterations + 1):
-        nbr = (
-            und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
-            .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
-        )
-        keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))  # isolated keep own
-        freq = nbr.unionByName(keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
-        labels = (
-            freq.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vid", "lbl")
-            .localCheckpoint(eager=False)
-        )
-        labels.count()  # materialize + truncate each superstep
-        if checkpoint_store is not None:
-            checkpoint_store.write_iteration(_decode(labels, vmap), iteration=it, metrics={})
+    it = start_iter
+    try:
+        w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
+        for it in range(start_iter + 1, iterations + 1):
+            nbr = (
+                und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
+                .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
+            )
+            keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))  # isolated keep own
+            freq = nbr.unionByName(keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
+            labels = (
+                freq.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("vid", "lbl")
+                .localCheckpoint(eager=False)
+            )
+            labels.count()  # materialize + truncate each superstep
+            if checkpoint_store is not None:
+                checkpoint_store.write_iteration(_decode(labels, vmap), iteration=it, metrics={})
+    finally:
+        # restore even when a superstep raises — AQE must not stay disabled
+        # for the caller's whole session
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    out = _decode(labels, vmap)
     und.unpersist()
-    return LPAResult(labels=_decode(labels, vmap), iterations=iterations)
+    return LPAResult(labels=out, iterations=iterations)
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:

@@ -72,20 +72,24 @@ def image_features(media: DataFrame) -> DataFrame:
     numpy only inside the kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pass per blob is inherent here (ragged shapes; a real decoder
+        # is a per-blob C call) — but iterate raw columns via zip, never
+        # pandas ``iterrows`` (which builds a Series per row); all per-pixel
+        # math below is numpy over the decoded array.
         for pdf in batches:
             ids, means, stds, hashes = [], [], [], []
-            for _, row in pdf.iterrows():
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
                 px = (
-                    _real_decode_image(row["data"])
+                    _real_decode_image(data)
                     if USE_REAL_DECODERS
-                    else _fake_decode_image(row["data"], row["meta"])
+                    else _fake_decode_image(data, meta)
                 )
                 g = px.mean(axis=2)
                 ys = np.linspace(0, g.shape[0] - 1, 8).astype(int)
                 xs = np.linspace(0, g.shape[1] - 1, 8).astype(int)
                 thumb = g[np.ix_(ys, xs)]
                 bits = (thumb > thumb.mean()).astype(np.uint8)
-                ids.append(row["media_id"])
+                ids.append(mid)
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
                 hashes.append(hashlib.md5(bits.tobytes()).hexdigest())
@@ -102,19 +106,26 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     frame (frame = fake-decoded slice of the blob)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-blob iteration is inherent (ragged frame counts / shapes);
+        # the per-frame means are computed in one vectorized reduction per
+        # blob (strided view → mean(axis=1)), not a per-frame loop.
         for pdf in batches:
             out_id, out_idx, out_mean = [], [], []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
                 nf = int(meta["n_frames"] or 0)
                 frame_px = int(meta["height"]) * int(meta["width"]) * int(meta["channels"])
-                buf = np.frombuffer(row["data"], dtype=np.uint8)
-                for fi in range(0, nf, every_n):
-                    start = (fi * frame_px) % max(len(buf), 1)
-                    frame = np.tile(buf, 2)[start : start + frame_px]
-                    out_id.append(row["media_id"])
-                    out_idx.append(fi)
-                    out_mean.append(float(frame.mean()) if frame.size else 0.0)
+                buf = np.frombuffer(data, dtype=np.uint8)
+                if nf <= 0 or frame_px <= 0 or len(buf) == 0:
+                    continue
+                idxs = np.arange(0, nf, every_n)
+                starts = (idxs * frame_px) % len(buf)
+                reps = int(np.ceil((int(starts.max()) + frame_px) / len(buf)))
+                tiled = np.tile(buf, max(reps, 1))
+                # gather all sampled frames as one (n_samples, frame_px) array
+                frames = tiled[starts[:, None] + np.arange(frame_px)[None, :]]
+                out_id.extend([mid] * len(idxs))
+                out_idx.extend(idxs.tolist())
+                out_mean.extend(frames.mean(axis=1, dtype=np.float64).tolist())
             yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame_mean": out_mean})
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -143,6 +143,26 @@ def pagerank(
     if n == 0:
         raise ValueError("empty graph")
 
+    if vertices is not None and cfg.validate_vertices:
+        # Endpoints missing from a user-supplied vertex table would be
+        # silently dropped by the encode join below — but 1/outdeg weights
+        # are computed BEFORE that drop, leaving sub-stochastic rows and
+        # unmarked danglers (silently wrong ranks). Guard with one setup-time
+        # left_anti count (distinct endpoints vs verts, co-partitioned).
+        missing = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .join(verts, "id", "left_anti")
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"{missing} edge endpoint(s) are not in the supplied vertices table; "
+                "pass vertices=None to derive the universe from the edges, or fix the table "
+                "(set PageRankConfig.validate_vertices=False to skip this check)"
+            )
+
     e = edges.select("src", "dst")
     if cfg.filter_ratio is not None:
         e = apply_filter_ratio(e, n, cfg.filter_ratio)
@@ -192,27 +212,40 @@ def pagerank(
     )
     counts = vmap.agg(F.count("*").alias("n"), F.count_distinct("vid").alias("nv")).first()
     if counts["nv"] != counts["n"]:  # hash collision → deterministic fallback
-        from pyspark.sql import Window
+        # distributed string-sorted rank (range exchange + per-partition
+        # sort + offsets — no single-task global sort even at 10^12 ids)
+        from pagerank_project_spark.operators.vids import string_sorted_vids
 
         vmap.unpersist()
+        sorted_map = string_sorted_vids(state.select("id"), "id", nparts)
         vmap = (
-            state.withColumn("vid", F.row_number().over(Window.orderBy("id")).cast("long"))
+            state.join(sorted_map, "id")
             .select("id", "vid", "dang", "v_raw")
             .repartition(nparts, "id")
             .persist()
         )
         vmap.count()
+        sorted_map.unpersist()
     ew_enc = (
         ew_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
         .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
         .select(F.col("_s").alias("src"), F.col("_t").alias("dst"), "w")
     )
+    hubs = None
     if cfg.strategy == "csr":
         from pagerank_project_spark.operators.superstep_csr import prepare_salted_edges
 
-        ew = prepare_salted_edges(ew_enc, nparts, cfg.salt_buckets, cfg.hub_degree_threshold).persist()
+        ew, hubs = prepare_salted_edges(ew_enc, nparts, cfg.salt_buckets, cfg.hub_degree_threshold)
+        ew = ew.persist()
+        hubs = hubs.persist()
+        hubs.count()
     else:
-        ew = ew_enc.repartition(nparts, "src").persist()
+        # sortWithinPartitions: the cached InMemoryRelation then reports an
+        # outputOrdering on the join key, so the per-iteration sort-merge
+        # join sorts ONLY the (|V|-row) rank side — the edges are sorted
+        # once here, never again (measured: edge-side per-iteration sort is
+        # the single largest superstep cost at sf≥1 without this).
+        ew = ew_enc.repartition(nparts, "src").sortWithinPartitions("src").persist()
     m = ew.count()  # materialize the partitioned, weighted, encoded edges once
 
     start_iter = 0
@@ -254,16 +287,56 @@ def pagerank(
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
+    try:
+        converged, it, cur = _iterate(
+            spark, cfg, cur, ew, hubs, n, d, alpha, start_iter, residuals, iter_secs,
+            checkpoint_store, vmap,
+        )
+    finally:
+        # restore even when a superstep raises (job failure, non-finite
+        # stats) — AQE must not stay disabled for the caller's session
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    # decode back to string vertex ids (op-9, pagerank.py:68,77-78)
+    result = (
+        cur.withColumnRenamed("id", "_vid")
+        .join(vmap.select(F.col("vid").alias("_vid"), "id"), "_vid")
+        .select("id", "rank")
+    )
+    ew.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
+    return PageRankResult(
+        ranks=result,
+        setup_sec=round(setup_sec, 3),
+        iter_secs=[round(x, 3) for x in iter_secs],
+        iterations=it - start_iter,
+        residuals=residuals,
+        converged=converged,
+        n_vertices=n,
+        n_edges=m,
+    )
+
+
+def _iterate(
+    spark, cfg, cur, ew, hubs, n, d, alpha, start_iter, residuals, iter_secs,
+    checkpoint_store, vmap,
+):
+    """The hot loop. Exactly ONE Spark job per superstep on the fused path;
+    returns (converged, next_iteration, final_state)."""
+    converged = False
+    it = start_iter
     for it in range(start_iter, start_iter + cfg.max_iterations):
         t_it = time.time()
         # SpMV gather-scatter: α·Pᵀx (pagerank.py:126-132)
         rank_side = cur.select(F.col("id").alias("_src"), "rank")
-        if n <= BROADCAST_VERTEX_LIMIT:
+        broadcast_rank = n <= BROADCAST_VERTEX_LIMIT
+        if broadcast_rank and cfg.strategy != "csr":
             rank_side = F.broadcast(rank_side)
         if cfg.strategy == "csr":
             from pagerank_project_spark.operators.superstep_csr import csr_partials
 
-            part = csr_partials(ew, rank_side).select(
+            part = csr_partials(ew, rank_side, hubs, cfg.salt_buckets, broadcast_rank).select(
                 F.col("dst").alias("id"), (F.lit(alpha) * F.col("c")).alias("c")
             )
         else:
@@ -301,13 +374,15 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        # ONE action: norms + residual components + next dangling mass
+        # ONE action: norms + residual components + next dangling mass +
+        # the un-normalized L1 difference (fused L1-delta path, see below)
         s_row = joined.agg(
             F.sum(F.abs(F.col("nx"))).alias("l1"),
             F.sum(F.pow(F.col("nx"), 2)).alias("nx2"),
             F.sum(F.col("nx") * F.col("old")).alias("nxold"),
             F.sum(F.pow(F.col("old"), 2)).alias("old2"),
             F.sum(F.col("nx") * F.col("dang")).alias("dmass"),
+            F.sum(F.abs(F.col("nx") - F.col("old"))).alias("l1diff"),
         ).first()
         s = s_row["l1"] if cfg.norm_x == "l1" else math.sqrt(s_row["nx2"])
         raw = s_row["nx2"] / (s * s) - 2.0 * s_row["nxold"] / s + s_row["old2"]
@@ -321,10 +396,21 @@ def pagerank(
 
         l1_delta = None
         if cfg.convergence == "l1_delta" or checkpoint_store is not None:
-            # Σ|x' − x| needs the norm s first → a second (cache-scan) agg
-            l1_delta = joined.agg(
-                F.sum(F.abs(F.col("nx") / F.lit(s) - F.col("old")))
-            ).first()[0]
+            # Σ|x'/s − x| needs s; it is NOT decomposable into s-free sums.
+            # FUSED path: in L1 mode (standard/bench semantics) the mass is
+            # conserved analytically — s = α(Σx−d) + αd + (1−α)·‖v‖₁ = 1 up
+            # to fp summation error — so when |s−1| ≤ 1e-9 the un-normalized
+            # Σ|x'−x| from the SAME single action differs from the exact
+            # value by ≤ Σ|x'|·|1/s−1| ≤ |1−s| ≤ 1e-9 ≪ ε: use it directly
+            # (ONE Spark job per superstep, the north_rule scaling path).
+            # Outside that regime (reference mode's L2-normalized v, or the
+            # x0=1/√n first iteration) fall back to the exact cache-scan agg.
+            if abs(s - 1.0) <= 1e-9:
+                l1_delta = s_row["l1diff"]
+            else:
+                l1_delta = joined.agg(
+                    F.sum(F.abs(F.col("nx") / F.lit(s) - F.col("old")))
+                ).first()[0]
 
         # cheap projection over the checkpointed superstep — no extra job
         new_state = joined.select("id", (F.col("nx") / F.lit(s)).alias("rank"), "v", "dang")
@@ -365,29 +451,11 @@ def pagerank(
         # stop rule: reference = L2 residual (pagerank.py:136-137);
         # 'l1_delta' = BASELINE.json bench criterion (L1 delta < ε)
         crit = resid if cfg.convergence == "l2_residual" else l1_delta
-        if crit < cfg.epsilon:
+        if crit is not None and crit < cfg.epsilon:
             converged = True
             it += 1
             break
     else:
         it += 1
 
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-
-    # decode back to string vertex ids (op-9, pagerank.py:68,77-78)
-    result = (
-        cur.withColumnRenamed("id", "_vid")
-        .join(vmap.select(F.col("vid").alias("_vid"), "id"), "_vid")
-        .select("id", "rank")
-    )
-    ew.unpersist()
-    return PageRankResult(
-        ranks=result,
-        setup_sec=round(setup_sec, 3),
-        iter_secs=[round(x, 3) for x in iter_secs],
-        iterations=it - start_iter,
-        residuals=residuals,
-        converged=converged,
-        n_vertices=n,
-        n_edges=m,
-    )
+    return converged, it, cur

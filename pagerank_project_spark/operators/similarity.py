@@ -2,22 +2,28 @@
 
 Two paths, as the driver brief mandates:
 
-- **brute-force cosine top-k** (the baseline / exact verifier): the
-  query-side rows stream through ``mapInPandas`` while the (broadcast)
-  corpus matrix lives as one numpy array per executor — each Arrow batch
-  is a single BLAS matmul + argpartition, no per-row Python. Exact; cost
-  O(|Q|·|C|·d) — fine when one side is broadcastable, which is also the
-  realistic 100 TB shape (queries ≪ corpus shards; at cluster scale the
-  corpus side is partitioned and the same kernel runs per shard with a
-  final top-k merge via groupBy + Window).
-- **LSH-bucketed cosine** (the scale path): random-hyperplane signatures
-  (sign bits of r Gaussian projections, seeded) computed engine-side via
-  a vectorized Pandas UDF; candidates = bucket collisions on any of B
-  sign-bands; exact cosine rerank on candidates only. Recall < 1 by
-  construction — tests assert recall vs brute force on fixtures.
+- **brute-force cosine top-k** (the baseline / exact verifier),
+  DISTRIBUTED: the QUERY side (small by construction — you ask for
+  neighbors of a bounded query set) is collected and broadcast once; the
+  CORPUS side — the unbounded one at 100 TB — never leaves the executors.
+  Each corpus Arrow batch is one BLAS matmul against the query matrix;
+  the kernel emits, per query, every candidate tied-or-above the batch's
+  k-th score (ties kept so the global cut is exact), and a
+  ``groupBy(vec_id)`` Window top-k merges the per-batch partials.
+  Fully vectorized: candidate selection is one ``np.partition`` +
+  boolean-mask per batch — no per-row/per-query Python loop.
+  Exact; cost O(|Q|·|C|·d) spread across the corpus partitions.
+- **LSH-bucketed cosine** (the scale path for query=corpus all-pairs):
+  random-hyperplane signatures (sign bits of r Gaussian projections,
+  seeded) computed engine-side via a vectorized Pandas UDF; candidates =
+  bucket collisions on any of B sign-bands; exact cosine rerank on
+  candidates only. Recall < 1 by construction — tests assert recall vs
+  brute force on fixtures.
 
 Cosines are computed in float64 and rounded to 6 dp so the DuckDB oracle
-(`list_cosine_similarity` over the same parquet) hash-matches.
+(`list_cosine_similarity` over the same parquet) hash-matches; the
+global (cosine desc, neighbor asc) row_number cut is identical on both
+sides, so the top-k sets hash-match too.
 """
 
 from __future__ import annotations
@@ -26,18 +32,19 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TOPK_SCHEMA = "vec_id long, neighbor long, cosine double"
 
+# queries are broadcast to every executor: cap the collected side. 2M × 128
+# floats ≈ 2 GB — beyond this, bucket the queries (LSH path) or shard them.
+QUERY_BROADCAST_LIMIT = 2_000_000
 
-def _corpus_matrix(corpus: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(np.int64)
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
+
+def _unit_rows(vectors: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vectors, axis=1)
     norms[norms == 0] = 1.0
-    return ids, mat / norms[:, None]
+    return vectors / norms[:, None]
 
 
 def brute_force_topk(
@@ -50,37 +57,54 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self excluded
     when ids collide). → (vec_id, neighbor, cosine) — ties broken by
-    neighbor id asc for determinism."""
-    ids, mat = _corpus_matrix(corpus, id_col, vec_col)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    neighbor id asc for determinism.
+
+    The corpus is NEVER collected: it streams through ``mapInPandas``
+    shard-by-shard while the (bounded, asserted) query matrix rides along
+    as a broadcast. Scales to an arbitrarily large corpus — the 100 TB
+    shape — with a final |Q|·k-sized Window merge.
+    """
+    qpdf = queries.select(id_col, vec_col).limit(QUERY_BROADCAST_LIMIT + 1).toPandas()
+    if len(qpdf) > QUERY_BROADCAST_LIMIT:
+        raise ValueError(
+            f"query side exceeds the broadcast budget ({QUERY_BROADCAST_LIMIT} rows); "
+            "shard the queries or use lsh_topk for all-pairs workloads"
+        )
+    qids = qpdf[id_col].to_numpy(np.int64)
+    qmat = _unit_rows(np.stack(qpdf[vec_col].to_numpy()).astype(np.float64))
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_qmat = spark.sparkContext.broadcast(qmat)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cids, cmat = b_ids.value, b_mat.value
+        Qids, Q = b_qids.value, b_qmat.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ cmat.T  # one BLAS call per batch
-            qids = pdf[id_col].to_numpy(np.int64)
-            out_q, out_n, out_c = [], [], []
-            for row, qid in enumerate(qids):
-                # rank on ROUNDED cosine so the (cosine desc, id asc) order
-                # is reproducible across engines with different fp sum order
-                s = np.round(sims[row], 6)
-                s[cids == qid] = -np.inf  # exclude self
-                kk = min(k, s.size)
-                cand = np.argpartition(-s, kk - 1)[:kk]
-                order = np.lexsort((cids[cand], -s[cand]))
-                sel = cand[order]
-                out_q.extend([qid] * len(sel))
-                out_n.extend(cids[sel].tolist())
-                out_c.extend(s[sel].tolist())
-            yield pd.DataFrame({"vec_id": out_q, "neighbor": out_n, "cosine": out_c})
+            cmat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cids = pdf[id_col].to_numpy(np.int64)
+            # round BEFORE ranking so the (cosine desc, id asc) order is
+            # reproducible across engines with different fp sum order
+            sims = np.round(Q @ cmat.T, 6)  # one BLAS call per batch
+            sims[Qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+            kk = min(k, sims.shape[1])
+            # per-query k-th score in this batch; emit everything ≥ it
+            # (ties INCLUDED — the global Window applies the exact
+            # (cosine desc, neighbor asc) cut, so no candidate that could
+            # win globally is dropped locally). Pure numpy; no row loop.
+            thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            mask = (sims >= thresh[:, None]) & np.isfinite(sims)
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_id": Qids[qi], "neighbor": cids[ci], "cosine": sims[qi, ci]}
+            )
 
-    return queries.select(id_col, vec_col).mapInPandas(kernel, schema=TOPK_SCHEMA)
+    partials = corpus.select(id_col, vec_col).mapInPandas(kernel, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 SIG_SCHEMA = "vec_id long, band int, bh long"
@@ -145,7 +169,5 @@ def lsh_topk(
         F.col("b").alias("neighbor"),
         F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias("cosine"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

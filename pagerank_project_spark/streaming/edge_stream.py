@@ -50,13 +50,28 @@ def stream_edge_batches(spark: SparkSession, in_dir: str) -> DataFrame:
 
 def incremental_degrees(spark: SparkSession, in_dir: str, state_dir: str, checkpoint_dir: str):
     """foreachBatch merge: per-micro-batch out-degree deltas folded into a
-    parquet state table. Returns the StreamingQuery (caller stops it)."""
+    parquet state table. Returns the StreamingQuery (caller stops it).
+
+    Exactly-once: the additive merge alone is NOT idempotent — if a
+    micro-batch is replayed after a crash between the state swap and the
+    streaming checkpoint commit, its deltas would double-count. The last
+    applied epoch_id therefore travels INSIDE each snapshot (an
+    underscore-prefixed sidecar, invisible to the parquet reader) and
+    replayed batches with epoch_id ≤ last_applied are skipped."""
     os.makedirs(state_dir, exist_ok=True)
     edges = spark.readStream.schema(EDGE_BATCH_SCHEMA).parquet(in_dir)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        delta = batch_df.groupBy("src").agg(F.count("*").alias("outdeg"))
+        import json
+        import shutil
+
         cur_path = os.path.join(state_dir, "current")
+        marker = os.path.join(cur_path, "_epoch_id.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if epoch_id <= json.load(f)["last_applied_epoch"]:
+                    return  # replayed batch — already folded into the state
+        delta = batch_df.groupBy("src").agg(F.count("*").alias("outdeg"))
         if os.path.exists(cur_path):
             cur = batch_df.sparkSession.read.parquet(cur_path)
             merged = (
@@ -68,9 +83,9 @@ def incremental_degrees(spark: SparkSession, in_dir: str, state_dir: str, checkp
             merged = delta
         tmp = os.path.join(state_dir, f"epoch={epoch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        # atomic swap: the new snapshot becomes current
-        import shutil
-
+        with open(os.path.join(tmp, "_epoch_id.json"), "w") as f:
+            json.dump({"last_applied_epoch": epoch_id}, f)
+        # atomic swap: the new snapshot (data + epoch marker) becomes current
         if os.path.exists(cur_path):
             shutil.rmtree(cur_path)
         os.rename(tmp, cur_path)

@@ -34,6 +34,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", base)  # align code_* oracles
+
     import __spark_entry__ as entrymod
     from pagerank_project_spark.session import get_spark
 
