@@ -333,6 +333,17 @@ def _iterate(
         broadcast_rank = n <= BROADCAST_VERTEX_LIMIT
         if broadcast_rank and cfg.strategy != "csr":
             rank_side = F.broadcast(rank_side)
+        elif not broadcast_rank:
+            # Above the limit the broadcast must be explicitly FORBIDDEN,
+            # not merely un-hinted: Catalyst's size estimate of the
+            # checkpointed state can fall under autoBroadcastJoinThreshold,
+            # and a driver-serial 10⁶⁺-row HashedRelation build per
+            # superstep is pure non-scaling cost (measured: this, not the
+            # job floor, dominated the round-1 N→4N efficiency miss). The
+            # SHUFFLE_HASH hint forces a shuffled hash join whose build
+            # side is the per-partition rank slice; the sorted, persisted
+            # edge cache streams through unsorted and unshuffled.
+            rank_side = rank_side.hint("shuffle_hash")
         if cfg.strategy == "csr":
             from pagerank_project_spark.operators.superstep_csr import csr_partials
 

@@ -136,10 +136,13 @@ def csr_partials(
             F.broadcast(rank_side), salted_edges.src == F.col("_src"), "inner"
         ).select("dst", "w", "rank")
     else:
-        rep = replicate_rank_for_salt(rank_side, hubs, salt_buckets)
+        # hint forbids an auto-broadcast of the (large) replicated rank side
+        # — see operators/pagerank.py; the (src, salt) keys co-partition
+        # with the persisted edge layout, so edges never move.
+        rep = replicate_rank_for_salt(rank_side, hubs, salt_buckets).hint("shuffle_hash")
         joined = salted_edges.join(
             rep,
-            (salted_edges.src == rep._src) & (salted_edges.salt == rep.salt),
+            (salted_edges.src == rep["_src"]) & (salted_edges.salt == rep["salt"]),
             "inner",
         ).select("dst", "w", "rank")
     return joined.mapInPandas(_scatter_batches, schema=CONTRIB_SCHEMA)

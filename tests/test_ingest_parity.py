@@ -74,7 +74,19 @@ def test_cc_checkpoint_resume(spark, small_rows, tmp_path):
     res = connected_components(spark, edges, checkpoint_store=store)
     resumed = {r["id"]: r["component"] for r in res.labels.collect()}
     assert resumed == full
-    assert store.metrics()[store.latest_iteration()]["changed_labels"] == 0
+    final = store.metrics()[store.latest_iteration()]
+    assert final["algorithm"] == "star" and final["converged"]
+    # a star-state store refuses to resume under propagation semantics
+    with pytest.raises(ValueError):
+        connected_components(spark, edges, checkpoint_store=store, algorithm="propagation")
+
+    # propagation-mode resume keeps its own state/metrics shape
+    pstore = CheckpointStore(str(tmp_path), "cc_prop")
+    connected_components(spark, edges, max_iterations=2, checkpoint_store=pstore, algorithm="propagation")
+    pres = connected_components(spark, edges, checkpoint_store=pstore, algorithm="propagation")
+    presumed = {r["id"]: r["component"] for r in pres.labels.collect()}
+    assert presumed == full
+    assert pstore.metrics()[pstore.latest_iteration()]["changed_labels"] == 0
 
 
 def test_repo_table_manifest_reader(spark, sf0001_fixture):
