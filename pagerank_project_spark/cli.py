@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--lpa_iterations", type=int, default=10)
+    p.add_argument("--cc_algorithm", default="star", choices=["star", "propagation"])
     p.add_argument("--output", default=None, help="write result parquet here instead of printing top-k")
     return p
 
@@ -100,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         from pagerank_project_spark.operators.components import connected_components
 
         res = connected_components(spark, edges, vertices=vertices,
-                                   max_iterations=args.max_iterations, checkpoint_store=store)
+                                   max_iterations=args.max_iterations, checkpoint_store=store,
+                                   algorithm=args.cc_algorithm)
         out = res.labels
         print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
     elif args.algorithm == "lpa":

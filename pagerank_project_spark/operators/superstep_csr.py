@@ -106,16 +106,16 @@ def replicate_rank_for_salt(
 
 
 def _scatter_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-Arrow-batch CSR scatter: partial Σ w·rank per dst (numpy only)."""
+    """Per-Arrow-batch CSR scatter: partial Σ (w·rank) per dst (numpy only).
+    The w·rank product arrives precomputed from the JVM side — one fewer
+    float64 column over the Arrow boundary per superstep."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
         # factorize = the block's compressed row index; bincount = the
         # scatter-add (measured ~20× faster than np.add.at on the codes)
         codes, uniques = pd.factorize(pdf["dst"], sort=False)
-        sums = np.bincount(
-            codes, weights=pdf["w"].to_numpy(np.float64) * pdf["rank"].to_numpy(np.float64)
-        )
+        sums = np.bincount(codes, weights=pdf["wr"].to_numpy(np.float64))
         yield pd.DataFrame({"dst": uniques, "c": sums})
 
 
@@ -131,10 +131,11 @@ def csr_partials(
     no exchange on either side. Else: salt-replicated co-partitioned
     shuffle join on (src, salt); edges never move.
     """
+    wr = (F.col("w") * F.col("rank")).alias("wr")
     if broadcast_rank:
         joined = salted_edges.join(
             F.broadcast(rank_side), salted_edges.src == F.col("_src"), "inner"
-        ).select("dst", "w", "rank")
+        ).select("dst", wr)
     else:
         # hint forbids an auto-broadcast of the (large) replicated rank side
         # — see operators/pagerank.py; the (src, salt) keys co-partition
@@ -144,5 +145,5 @@ def csr_partials(
             rep,
             (salted_edges.src == rep["_src"]) & (salted_edges.salt == rep["salt"]),
             "inner",
-        ).select("dst", "w", "rank")
+        ).select("dst", wr)
     return joined.mapInPandas(_scatter_batches, schema=CONTRIB_SCHEMA)
