@@ -121,13 +121,17 @@ def connected_components(
     local_checkpoint_every: int = 8,  # kept for API compat; truncation is per-iteration
     checkpoint_store=None,
     algorithm: str = "star",  # star (contraction, default) | propagation (fixed-iteration oracle)
+    validate_vertices: bool = True,
 ) -> ComponentsResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
+    from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
     if algorithm not in ("star", "propagation"):
         raise ValueError(f"unknown algorithm {algorithm!r}; one of ['star', 'propagation']")
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
+    if vertices is not None and validate_vertices:
+        assert_endpoints_covered(edges, verts)
 
     # string-sorted dense vids: min-vid ≡ min-string at every superstep
     vmap = string_sorted_vids(verts, "id", nparts)

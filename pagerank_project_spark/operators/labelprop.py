@@ -53,11 +53,15 @@ def label_propagation(
     num_partitions: int | None = None,
     local_checkpoint_every: int = 8,  # kept for API compat
     checkpoint_store=None,
+    validate_vertices: bool = True,
 ) -> LPAResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
+    from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
+    if vertices is not None and validate_vertices:
+        assert_endpoints_covered(edges, verts)
 
     # one-time encoding with vids in STRING-sorted order so long-vid
     # tie-breaks ≡ min-string tie-breaks (distributed; no global sort).

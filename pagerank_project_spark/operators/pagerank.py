@@ -147,21 +147,10 @@ def pagerank(
         # Endpoints missing from a user-supplied vertex table would be
         # silently dropped by the encode join below — but 1/outdeg weights
         # are computed BEFORE that drop, leaving sub-stochastic rows and
-        # unmarked danglers (silently wrong ranks). Guard with one setup-time
-        # left_anti count (distinct endpoints vs verts, co-partitioned).
-        missing = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct()
-            .join(verts, "id", "left_anti")
-            .count()
-        )
-        if missing:
-            raise ValueError(
-                f"{missing} edge endpoint(s) are not in the supplied vertices table; "
-                "pass vertices=None to derive the universe from the edges, or fix the table "
-                "(set PageRankConfig.validate_vertices=False to skip this check)"
-            )
+        # unmarked danglers (silently wrong ranks). One setup-time guard.
+        from pagerank_project_spark.operators.vids import assert_endpoints_covered
+
+        assert_endpoints_covered(edges, verts)
 
     e = edges.select("src", "dst")
     if cfg.filter_ratio is not None:

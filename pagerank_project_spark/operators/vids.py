@@ -85,6 +85,26 @@ def string_sorted_vids(
     return out
 
 
+def assert_endpoints_covered(edges: DataFrame, verts: DataFrame) -> None:
+    """Guard against the silent-subgraph failure: endpoints missing from a
+    user-supplied vertex table would be dropped by the encode joins, and
+    every downstream result (ranks, labels, communities) would be silently
+    wrong. One setup-time co-partitioned left_anti count."""
+    missing = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(verts.select("id"), "id", "left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"{missing} edge endpoint(s) are not in the supplied vertices table; "
+            "pass vertices=None to derive the universe from the edges, or fix the table "
+            "(validate_vertices=False skips this check)"
+        )
+
+
 def encode_or_fallback(
     verts: DataFrame, id_col: str = "id", num_partitions: int | None = None
 ) -> DataFrame:
