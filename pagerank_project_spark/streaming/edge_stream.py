@@ -99,7 +99,63 @@ def incremental_degrees(spark: SparkSession, in_dir: str, state_dir: str, checkp
 
 
 SESSION_OUT_SCHEMA = "user_id long, session_start timestamp, n_events long, total_value double"
-SESSION_STATE_SCHEMA = "start long, n long, v double"
+SESSION_STATE_SCHEMA = "start long, last long, n long, v double"
+
+
+def sessionize_stream(spark: SparkSession, in_dir: str, gap_minutes: int = 30):
+    """STREAMING sessionization — the arbitrary-stateful custom operator
+    path (``applyInPandasWithState``), the engine's template for operators
+    Structured Streaming's built-ins can't express.
+
+    State per user: (session_start, last_event, n_events, total_value) as
+    epoch seconds. A micro-batch's events are folded in event-time order;
+    an event more than ``gap`` after the previous one CLOSES the running
+    session (emitted downstream) and opens a new one. Open sessions stay
+    in state across micro-batches — deterministic under availableNow
+    replays of the same file set (no processing-time timeouts).
+
+    Returns the closed-sessions streaming DataFrame (SESSION_OUT_SCHEMA);
+    the batch twin ``sessionize_events`` is the oracle in tests.
+    """
+    import pandas as pd
+
+    gap = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.exists:
+            start, last, n, v = state.get
+        else:
+            start = last = None
+            n, v = 0, 0.0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                sec = int(pd.Timestamp(ts).timestamp())
+                if last is not None and sec - last > gap:
+                    out.append((user_id, pd.Timestamp(start, unit="s"), n, round(v, 4)))
+                    start, n, v = sec, 0, 0.0
+                if start is None:
+                    start = sec
+                last = sec
+                n += 1
+                v += float(val)
+        state.update((start, last, n, v))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "session_start", "n_events", "total_value"])
+
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(in_dir)
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -75,3 +75,42 @@ def test_sessionize_events_oracle(spark):
         exp_events += len(g)
     assert out.count() == exp_sessions
     assert out.agg(F.sum("n_events")).first()[0] == exp_events
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions closed by a gap are
+    emitted; open sessions persist in state across micro-batches."""
+    from pagerank_project_spark.streaming.edge_stream import sessionize_stream
+
+    in_dir = str(tmp_path / "events_in")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 02:00:00",
+                 "2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("append").parquet(in_dir)
+    q = (
+        sessionize_stream(spark, in_dir, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM closed_sessions").collect()
+    # only user 1's first session closed (the 02:00 event is > 30min later);
+    # user 2's session and user 1's second remain open in state
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["n_events"], r["total_value"]) == (1, 2, 3.0)
+    assert str(r["session_start"]).startswith("2024-01-01 00:00")
