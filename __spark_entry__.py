@@ -347,6 +347,12 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(spark, _t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    from pagerank_project_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(spark, _t(spark, sf_dir, "embeddings"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operator families (SURVEY.md §2)
@@ -377,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 

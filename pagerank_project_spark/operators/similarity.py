@@ -107,6 +107,98 @@ def brute_force_topk(
     )
 
 
+ASSIGN_SCHEMA = "vec_id long, cell int"
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: seeded Lloyd iterations on a
+    bounded, deterministic sample (lowest ids). Sample and centroid count
+    are driver-bounded by construction — the corpus itself never leaves
+    the executors."""
+    spdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    x = _unit_rows(np.stack(spdf[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    cents = x[np.sort(init)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):  # bounded by n_centroids (small)
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[c] = m / nrm
+    return cents
+
+
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs cosine top-k via IVF (inverted file): corpus
+    vectors are bucketed by nearest coarse centroid (one vectorized Arrow
+    pass); each query probes its ``nprobe`` nearest cells; candidates =
+    cell-bucket join (never all-pairs); exact expression-level cosine
+    rerank + Window top-k. Recall grows with nprobe/n_centroids — tests
+    assert a floor vs brute force. → (vec_id, neighbor, cosine)."""
+    cents = train_centroids(embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cents.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(np.int64), "cell": (v @ C.T).argmax(axis=1).astype(np.int32)}
+            )
+
+    def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cents.value
+        npr = min(nprobe, len(C))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cells = np.argsort(-(v @ C.T), axis=1)[:, :npr]  # (n, nprobe)
+            ids = np.repeat(pdf[id_col].to_numpy(np.int64), npr)
+            yield pd.DataFrame({"vec_id": ids, "cell": cells.reshape(-1).astype(np.int32)})
+
+    vecs = embeddings.select(id_col, vec_col)
+    assigned = vecs.mapInPandas(assign_kernel, schema=ASSIGN_SCHEMA)
+    probes = vecs.mapInPandas(probe_kernel, schema=ASSIGN_SCHEMA)
+    cand = (
+        probes.alias("q")
+        .join(assigned.alias("c"), "cell")
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(F.col("q.vec_id").alias("a"), F.col("c.vec_id").alias("b"))
+        .distinct()
+    )
+    return _exact_rerank_topk(cand, vecs, k, id_col, vec_col)
+
+
 SIG_SCHEMA = "vec_id long, band int, bh long"
 
 
@@ -153,11 +245,16 @@ def lsh_topk(
         .distinct()
     )
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    return _exact_rerank_topk(cand, vecs, k, id_col, vec_col)
+
+
+def _exact_rerank_topk(cand: DataFrame, vecs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine over candidate pairs (a, b), expression-level
+    (zip_with + aggregate, float64) + per-query Window top-k."""
     pairs = (
         cand.join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va")), "a")
         .join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb")), "b")
     )
-    # exact cosine rerank, expression-level (zip_with + aggregate, float64)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
