@@ -120,6 +120,18 @@ def q_pagerank_k3(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_k3_personalized(spark, sf_dir):
+    """op-18: personalization-indicator vector (urls containing '1'),
+    3 fixed textbook iterations — oracle-checkable end-to-end."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    e = _cs_edges(spark, sf_dir)
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, e, cfg=cfg, v_expr=F.col("id").contains("1"))
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_iter5(spark, sf_dir):
     from pagerank_project_spark.operators.components import connected_components
 
@@ -359,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "inlink_ratio_filter": q_inlink_ratio_filter,
         "pagerank_k3": q_pagerank_k3,
+        "pagerank_k3_personalized": q_pagerank_k3_personalized,
         "cc_iter5": q_cc_iter5,
         "triangle_count": q_triangle_count,
         "search_topk": q_search_topk,
@@ -391,19 +404,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-def _pagerank_k3_sql(e_sql: str | None = None, v_sql: str | None = None) -> str:
+def _pagerank_k3_sql(
+    e_sql: str | None = None, v_sql: str | None = None, pv_pred_sql: str | None = None
+) -> str:
     """Unrolled 3-iteration textbook PageRank (standard mode: v L1, x L1;
     x0 = 1/√n; same per-iteration dataflow as pagerank.py:100-139).
     e_sql/v_sql parameterize the edge table and vertex universe (default:
-    the customer→supplier graph with endpoint-derived vertices)."""
+    the customer→supplier graph with endpoint-derived vertices);
+    pv_pred_sql is an optional personalization indicator expression over
+    ``id`` (reference make_personalization_vector, pagerank.py:81-97 —
+    L1-normalized; None → uniform 1/n)."""
     e_sql = e_sql or CS_EDGES_SQL
     v_sql = v_sql or "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)"
+    vraw = pv_pred_sql or "1.0"
     head = f"""
 WITH e AS ({e_sql}),
 v AS ({v_sql}),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
 od AS (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
 w AS (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+vraw AS (SELECT id, ({vraw})::DOUBLE AS vr FROM v),
+vn AS (SELECT id, vr / (SELECT SUM(vr) FROM vraw) AS vw FROM vraw),
 x0 AS (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
 """
     body = ""
@@ -413,8 +434,8 @@ x0 AS (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
 dang{k} AS (SELECT COALESCE(SUM(x.x), 0) AS dm FROM {p} x LEFT JOIN od ON x.id = od.src WHERE od.src IS NULL),
 con{k} AS (SELECT w.dst AS id, SUM(w.w * x.x) AS c FROM w JOIN {p} x ON w.src = x.id GROUP BY w.dst),
 raw{k} AS (
-  SELECT v.id, {ALPHA}*COALESCE(c.c, 0) + ({ALPHA}*d.dm + {1 - ALPHA})*(1.0/nn.n) AS x
-  FROM v LEFT JOIN con{k} c ON v.id = c.id, nn, dang{k} d
+  SELECT v.id, {ALPHA}*COALESCE(c.c, 0) + ({ALPHA}*d.dm + {1 - ALPHA})*vn.vw AS x
+  FROM v LEFT JOIN con{k} c ON v.id = c.id JOIN vn ON vn.id = v.id, dang{k} d
 ),
 {c} AS (SELECT id, x / (SELECT SUM(abs(x)) FROM raw{k}) AS x FROM raw{k})
 """
@@ -682,6 +703,9 @@ SELECT (SELECT c FROM nv) AS n_vertices,
        (SELECT COUNT(*)::BIGINT FROM e JOIN ind USING (dst), nv WHERE ind.c < 0.3 * nv.c) AS n_edges_kept
 """,
         "pagerank_k3": _pagerank_k3_sql(),
+        "pagerank_k3_personalized": _pagerank_k3_sql(
+            pv_pred_sql="CASE WHEN id LIKE '%1%' THEN 1.0 ELSE 0.0 END"
+        ),
         "cc_iter5": _cc_iter5_sql(),
         "triangle_count": """
 WITH und AS (
