@@ -74,7 +74,12 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """{(v, min(Γ⁺(u))) : v ∈ Γ(u), v > u} over the symmetrized view."""
+    """{(v, min(Γ⁺(u))) : v ∈ Γ(u), v > u} over the symmetrized view.
+
+    NOT dedup'd: duplicates are harmless downstream (small-star's min-aggs
+    ignore them and its trailing distinct restores set semantics) and the
+    output is ≤ |sym| rows regardless, so skipping the exchange here saves
+    a full per-round shuffle."""
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
@@ -82,7 +87,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, sym.src == F.col("u"))
         .filter(F.col("dst") > F.col("u"))
         .select(F.col("dst").alias("src"), m.alias("dst"))
-        .distinct()
     )
 
 
@@ -190,11 +194,10 @@ def _run_star(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_
     converged = False
     it = start_iter
     for it in range(start_iter + 1, start_iter + max_iterations + 1):
-        e2 = (
-            _small_star(_large_star(e))
-            .repartition(nparts, "src")
-            .localCheckpoint(eager=False)
-        )
+        # no explicit repartition: the trailing distinct already hash-
+        # partitions on (src, dst), and next round's groupBys re-key by
+        # src anyway — an extra full-edge exchange per round buys nothing
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         stats2 = _edge_stats(e2)  # the ONE materializing action per round
         if stats2 == stats and e2.exceptAll(e).count() == 0:
             # fingerprint matched AND exact set equality confirmed
