@@ -38,19 +38,40 @@ from pyspark.sql import DataFrame, functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
+def _widen(docs: DataFrame) -> DataFrame:
+    """Ensure the expensive per-document expression scans (normalize +
+    shingle regexes) run at cluster parallelism: a small file count (e.g.
+    ONE parquet file at bench scale) otherwise serializes the whole scan
+    onto that many tasks. Repartition only when the source is narrower
+    than the session's parallelism — at real scale the input already has
+    thousands of splits and this is a no-op."""
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < nparts:
+        return docs.repartition(nparts)
+    return docs
+
+
 def shingles(text, n: int = 3):
-    """Distinct word n-gram shingles of the normalized text (array)."""
+    """Distinct word n-gram shingles of the normalized text (array).
+
+    Formulated as n array slices zipped together — NEVER as a lambda that
+    references the outer token array (``element_at(toks, i+j)`` inside a
+    ``transform`` re-evaluates the whole split+regex-normalization chain
+    PER ELEMENT — Catalyst does not CSE across higher-order-function
+    invocations; measured 13× slower on the sf0.1 documents scan). Here
+    every expression references ``toks`` at row level, where codegen's
+    subexpression elimination applies."""
     from pagerank_project_spark.operators.textstats import normalized_text
 
     toks = F.split(normalized_text(text), " ")
+    cnt = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, cnt) for j in range(n)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, zipped).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
@@ -83,6 +104,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
     → (a, b, jaccard) with jaccard rounded to 6 dp (oracle-hash friendly)."""
+    docs = _widen(docs)
     sh = docs.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -136,7 +158,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (doc_id, sig: array<long>[num_perm]). Pure Catalyst: shingle →
     xxhash64 → per-permutation universal hash (a·h+b mod 2³¹−1) → min."""
-    sh_base = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs"))
+    sh_base = _widen(docs).select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs"))
     return _signatures_from_shingles(sh_base, num_perm, id_col)
 
 
@@ -160,7 +182,7 @@ def minhash_lsh_pairs(
     # the shingle set feeds BOTH the signature path and the exact-Jaccard
     # rerank — materialize it once (regex+normalize over full text is the
     # expensive scan)
-    sh_base = docs.select(
+    sh_base = _widen(docs).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs")
     ).persist()
     sig = _signatures_from_shingles(sh_base, num_perm, id_col)
@@ -236,7 +258,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     from pagerank_project_spark.operators.textstats import normalized_text
 
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-    hashed = docs.select(
+    hashed = _widen(docs).select(
         F.col(id_col).alias("doc_id"), F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
     )
     return hashed.mapInPandas(_simhash_batches, schema=SIMHASH_SCHEMA)
