@@ -43,6 +43,7 @@ from pagerank_project_spark.operators.vids import string_sorted_vids
 class LPAResult:
     labels: DataFrame  # (id: string, label: string)
     iterations: int
+    iter_secs: list[float] | None = None  # wall per superstep
 
 
 def label_propagation(
@@ -93,9 +94,13 @@ def label_propagation(
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     it = start_iter
+    iter_secs: list[float] = []
     try:
+        import time
+
         w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
         for it in range(start_iter + 1, iterations + 1):
+            t_it = time.time()
             nbr = (
                 und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
                 .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
@@ -109,6 +114,7 @@ def label_propagation(
                 .localCheckpoint(eager=False)
             )
             labels.count()  # materialize + truncate each superstep
+            iter_secs.append(round(time.time() - t_it, 3))
             if checkpoint_store is not None:
                 checkpoint_store.write_iteration(_decode(labels, vmap), iteration=it, metrics={})
     finally:
@@ -118,7 +124,7 @@ def label_propagation(
 
     out = _decode(labels, vmap)
     und.unpersist()
-    return LPAResult(labels=out, iterations=iterations)
+    return LPAResult(labels=out, iterations=iterations, iter_secs=iter_secs)
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:
