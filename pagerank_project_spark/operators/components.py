@@ -1,4 +1,4 @@
-"""Connected components — large-star/small-star contraction + min-label
+r"""Connected components — large-star/small-star contraction + min-label
 propagation.
 
 BASELINE.json north_star: "connected components via iterative min-label
@@ -20,12 +20,42 @@ Two algorithms over the same substrate:
 
   Both preserve connectivity; the fixed point is a forest of stars whose
   root is the component minimum. Converges in O(log² n) rounds (O(log n)
-  observed) vs O(diameter) for plain propagation — the difference between
-  ~7 and ~56 supersteps on the sf0.1 fixture, and between feasible and
-  unbounded on a 10^12-vertex web graph with giant diameter. Convergence
-  test per round: (edge-count, Σ decimal xxhash64(src,dst)) in ONE agg;
-  on a stats match, one exact ``exceptAll`` count confirms set equality
-  (the checksum alone never declares convergence).
+  observed) vs O(diameter) for plain propagation. Convergence test per
+  round: (edge-count, Σ decimal xxhash64(src,dst)) in ONE agg; on a
+  stats match, one exact ``exceptAll`` count confirms set equality.
+
+  Round physicalization is a PER-ROUND HYBRID, chosen by a sampled
+  max-degree estimate (``_skew_estimate`` — a wrong estimate only costs
+  speed, never correctness, so a cheap sample suffices):
+
+  * low-skew rounds → WINDOW path (``_large_star``/``_small_star``): the
+    per-center min is a window aggregate over partitionBy(center) — one
+    exchange + one in-partition pass per star op (measured 1.64× faster
+    per round than groupBy+join at sf4).
+  * skewed rounds (est. max symmetric degree > ``skew_threshold``) →
+    SKEW-SAFE path (``_large_star_safe``/``_small_star_safe``): the
+    window would buffer a hub's ENTIRE neighbor multiset in one task
+    (the "curse of the last reducer" — and star contraction *creates*
+    such hubs by design: a converged component of size k is a star with
+    a degree-k root). Instead the per-center min is a map-side-combined
+    ``groupBy(center).agg(min, count)`` (skew-proof: reducers see at
+    most one partial row per map task per key), and the min is joined
+    back with hub keys (deg > threshold) routed through a BROADCAST
+    join (hub edges never shuffle by center at all) while residual keys
+    take a plain shuffle join whose per-key row count is bounded by the
+    threshold. If the estimated hub count exceeds the broadcast budget,
+    the hub join falls back to a salted (center, salt)-key join that
+    spreads each hub's rows over 32 tasks.
+
+  Tail: once the contracted edge set falls under ``driver_finish_edges``
+  the remaining O(log) rounds would each pay a full scheduling barrier
+  to process <2% of the original edges. The loop instead collects the
+  (bounded, counted — never unbounded) edge set and finishes with a
+  driver-side union-find in one step, emitting exactly the star fixed
+  point the distributed rounds would converge to: {(v, min(C)) : v ∈ C,
+  v ≠ min(C)}. Support is preserved round-to-round (every endpoint of
+  the input edge set reappears in the output — see ``_driver_finish``),
+  so labels are identical to a full-Spark run.
 
 - ``propagation`` (the fixed-iteration/oracle mode): per superstep ONE
   map-side-combined shuffle — neighbor-label rows ∪ own-label rows →
@@ -55,6 +85,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pagerank_project_spark.operators.vids import string_sorted_vids
 
+# Rows of hub (center → min) pairs broadcast per star op before the salted
+# fallback kicks in. 1M rows ≈ 24 MB serialized — comfortably under the
+# executor broadcast budget; power-law graphs have orders of magnitude fewer
+# keys above any sane skew_threshold.
+HUB_BROADCAST_LIMIT = 1_000_000
+# Edges sampled per round for the skew estimate (estimate error only ever
+# mis-picks the physical path, never changes results).
+DEGREE_SAMPLE_TARGET = 2_000_000
+# Salt fan-out for the salted hub-join fallback.
+HUB_SALTS = 32
+
 
 @dataclass
 class ComponentsResult:
@@ -77,13 +118,14 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """{(v, min(Γ⁺(u))) : v ∈ Γ(u), v > u} over the symmetrized view.
 
-    Physicalization: the per-center minimum is a WINDOW aggregate over
-    partitionBy(src) — one exchange + in-partition pass — instead of a
-    groupBy + self-join (two exchanges of the full edge multiset; the
-    windowed round measured 1.64× faster end-to-end at sf4). NOT dedup'd:
-    duplicates are harmless downstream (small-star's window mins ignore
-    them and its trailing distinct restores set semantics) and the output
-    is ≤ |sym| rows regardless."""
+    WINDOW physicalization (the low-skew path): the per-center minimum is
+    a window aggregate over partitionBy(src) — one exchange + in-partition
+    pass — instead of a groupBy + self-join (two exchanges of the full
+    edge multiset; the windowed round measured 1.64× faster end-to-end at
+    sf4). NOT dedup'd: duplicates are harmless downstream (small-star's
+    mins ignore them and its trailing distinct restores set semantics).
+    Hub-skew caveat: one task buffers a center's whole neighbor multiset —
+    use ``_large_star_safe`` when the max degree is large."""
     from pyspark.sql import Window
 
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -119,6 +161,99 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _join_mins(rows: DataFrame, mins: DataFrame, hub_threshold: int, spark, salted: bool) -> DataFrame:
+    """Attach each row's per-center minimum (rows.src ⋈ mins.src → mv),
+    hub-skew-safely.
+
+    Hub centers (deg > hub_threshold, a handful on power-law graphs) go
+    through a BROADCAST left join — their (many) rows are resolved
+    map-side and never shuffle on the center key. Residual centers take a
+    plain shuffle join whose per-key row count is ≤ hub_threshold by
+    construction. ``salted=True`` replaces the broadcast with a
+    (center, salt)-replicated shuffle join (each hub's rows spread over
+    ``HUB_SALTS`` tasks) for the est-too-many-hubs-to-broadcast case."""
+    hub = mins.filter(F.col("deg") > hub_threshold).select(
+        F.col("src").alias("_hk"), F.col("mv").alias("_hmv")
+    )
+    rest = mins.filter(F.col("deg") <= hub_threshold).select(
+        F.col("src").alias("_rk"), F.col("mv").alias("mv")
+    )
+    if salted:
+        salts = spark.range(HUB_SALTS).select(F.col("id").cast("int").alias("_hsalt"))
+        hub_s = hub.crossJoin(salts)
+        rows_s = rows.withColumn(
+            "_salt", F.pmod(F.xxhash64("dst"), F.lit(HUB_SALTS)).cast("int")
+        )
+        j = rows_s.join(
+            hub_s,
+            (F.col("src") == F.col("_hk")) & (F.col("_salt") == F.col("_hsalt")),
+            "left",
+        ).drop("_hk", "_hsalt", "_salt")
+    else:
+        j = rows.join(F.broadcast(hub), F.col("src") == F.col("_hk"), "left").drop("_hk")
+    done = j.filter(F.col("_hmv").isNotNull()).select(
+        "src", "dst", F.col("_hmv").alias("mv")
+    )
+    todo = (
+        j.filter(F.col("_hmv").isNull())
+        .drop("_hmv")
+        .join(rest, F.col("src") == F.col("_rk"))
+        .select("src", "dst", "mv")
+    )
+    return done.unionByName(todo)
+
+
+def _large_star_safe(e: DataFrame, hub_threshold: int, spark, salted: bool = False):
+    """Skew-safe large-star: per-center min via map-side-combined groupBy
+    (no window buffering), joined back via ``_join_mins``. Output multiset
+    is identical to ``_large_star``'s. Returns (out, mins) — caller
+    unpersists ``mins`` after the round's action."""
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mv"), F.count("*").alias("deg"))
+        .persist()
+    )
+    cand = sym.filter(F.col("dst") > F.col("src"))
+    withm = _join_mins(cand, mins, hub_threshold, spark, salted)
+    out = withm.select(
+        F.col("dst").alias("src"), F.least(F.col("src"), F.col("mv")).alias("dst")
+    )
+    return out, mins
+
+
+def _small_star_safe(e: DataFrame, hub_threshold: int, spark, salted: bool = False):
+    """Skew-safe small-star. The (u, m) per-center row comes straight from
+    the mins table (exactly one row per center — no row_number needed),
+    the (v, m) rows from the skew-safe join-back. Output set is identical
+    to ``_small_star``'s. Returns (out, mins)."""
+    ori = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = (
+        ori.groupBy("src")
+        .agg(F.min("dst").alias("mv"), F.count("*").alias("deg"))
+        .persist()
+    )
+    withm = _join_mins(ori, mins, hub_threshold, spark, salted)
+    emit_v = withm.filter(F.col("dst") != F.col("mv")).select(
+        F.col("dst").alias("src"), F.col("mv").alias("dst")
+    )
+    emit_u = mins.select("src", F.col("mv").alias("dst"))
+    return emit_v.unionByName(emit_u).distinct(), mins
+
+
+def _star_round_safe(e: DataFrame, skew_threshold: int, spark, salted: bool):
+    """One hub-skew-safe contraction round. The large-star output feeds two
+    consumers in small-star (its mins groupBy and the join-back), so it is
+    persisted for the round rather than recomputed. Returns
+    (e2, scratch_to_unpersist)."""
+    ls, mins1 = _large_star_safe(e, skew_threshold, spark, salted)
+    ls = ls.persist()
+    e2, mins2 = _small_star_safe(ls, skew_threshold, spark, salted)
+    return e2, [mins1, ls, mins2]
+
+
 def _edge_stats(e: DataFrame) -> tuple[int, object]:
     """(count, exact decimal Σ xxhash64(src,dst)) in one agg — the cheap
     per-round fingerprint. Decimal sum: exact, no ANSI int64 overflow."""
@@ -127,6 +262,78 @@ def _edge_stats(e: DataFrame) -> tuple[int, object]:
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
     ).first()
     return row["n"], row["chk"]
+
+
+def _skew_estimate(e: DataFrame, n_edges: int, skew_threshold: int) -> tuple[int, int]:
+    """(est_max_symmetric_degree, est_hub_count) from a bounded edge sample
+    (exact when the graph is small). One cheap job over the cached edge
+    set; drives the window-vs-safe round choice and the broadcast-vs-salt
+    hub-join choice. A hub of degree D survives a 1/p_inv edge sample with
+    expected D/p_inv incident rows, so at the default threshold (1e5) and
+    sample target (2e6 edges) the estimate is within a few percent; a miss
+    only costs round speed, never correctness."""
+    p_inv = max(1, int(n_edges // DEGREE_SAMPLE_TARGET))
+    samp = (
+        e
+        if p_inv == 1
+        else e.filter(F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(p_inv)) == 0)
+    )
+    kv = samp.select(F.explode(F.array("src", "dst")).alias("k"))
+    row = (
+        kv.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.max("c").alias("m"),
+            F.count(F.when(F.col("c") * p_inv > skew_threshold, 1)).alias("nh"),
+        )
+        .first()
+    )
+    return int(row["m"] or 0) * p_inv, int(row["nh"] or 0)
+
+
+def _driver_finish(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Finish a small contracted graph driver-side: one bounded collect
+    (the caller has already counted the edge set against
+    ``driver_finish_edges`` — this is never an unbounded collect) + a
+    union-find, returning the star fixed point {(v, min(C))} the
+    distributed rounds would converge to.
+
+    Correctness rests on star contraction preserving the non-isolated
+    vertex SUPPORT each round: in large-star every center v reappears as
+    the m-value of its own emission (v = min(Γ⁺(v)) when v is a local
+    min) or as the src of (v, m(u)) for any neighbor u < v; in small-star
+    every center u is re-emitted via (u, m) and every neighbor v via
+    (v, m) or as m itself. Hence the collected support equals the final
+    support, and per-component min over it equals the component min."""
+    pdf = e.select("src", "dst").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    srcs = pdf["src"].to_numpy()
+    dsts = pdf["dst"].to_numpy()
+    for s, d in zip(srcs, dsts):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            # union-by-min keeps every root = min vid seen in its tree,
+            # so the final find() IS the component minimum
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    support = set(map(int, srcs)) | set(map(int, dsts))
+    stars = [(v, find(v)) for v in sorted(support) if find(v) != v]
+    if not stars:
+        return spark.createDataFrame([], "src long, dst long")
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(stars, columns=["src", "dst"]))
 
 
 def connected_components(
@@ -139,7 +346,17 @@ def connected_components(
     checkpoint_store=None,
     algorithm: str = "star",  # star (contraction, default) | propagation (fixed-iteration oracle)
     validate_vertices: bool = True,
+    skew_threshold: int = 100_000,
+    driver_finish_edges: int = 1_000_000,
+    hub_broadcast_limit: int = HUB_BROADCAST_LIMIT,
+    vmap: DataFrame | None = None,
 ) -> ComponentsResult:
+    """``vmap``: an optional pre-built (id, vid) map from
+    ``vids.string_sorted_vids`` over the same vertex universe — lets
+    callers running several graph ops on one graph (bench, CLI) pay the
+    encode jobs once. ``skew_threshold``/``driver_finish_edges``/
+    ``hub_broadcast_limit`` tune the star path only (see module doc);
+    setting ``driver_finish_edges=0`` forces fully-distributed rounds."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
@@ -151,7 +368,8 @@ def connected_components(
         assert_endpoints_covered(edges, verts)
 
     # string-sorted dense vids: min-vid ≡ min-string at every superstep
-    vmap = string_sorted_vids(verts, "id", nparts)
+    if vmap is None:
+        vmap = string_sorted_vids(verts, "id", nparts)
     und_str = undirected_edges(edges)
     und = (
         und_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
@@ -177,7 +395,8 @@ def connected_components(
     try:
         if algorithm == "star":
             labels, it, converged, iter_secs = _run_star(
-                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter
+                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter,
+                skew_threshold, driver_finish_edges, hub_broadcast_limit,
             )
         else:
             labels, it, converged, iter_secs = _run_propagation(
@@ -190,7 +409,12 @@ def connected_components(
     return ComponentsResult(labels=labels, iterations=it, converged=converged, iter_secs=iter_secs)
 
 
-def _run_star(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter):
+def _run_star(
+    spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter,
+    skew_threshold, driver_finish_edges, hub_broadcast_limit,
+):
+    import time
+
     if start_iter:
         # state = the contracted edge set, stored as string pairs
         st = checkpoint_store.read_state(spark, start_iter)
@@ -204,35 +428,69 @@ def _run_star(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_
     e = e.repartition(nparts, "src").localCheckpoint(eager=False)
     stats = _edge_stats(e)  # materializes the initial state
 
-    import time
-
     converged = False
     iter_secs: list[float] = []
     it = start_iter
-    for it in range(start_iter + 1, start_iter + max_iterations + 1):
-        t_it = time.time()
-        # no explicit repartition: the trailing distinct already hash-
-        # partitions on (src, dst), and next round's groupBys re-key by
-        # src anyway — an extra full-edge exchange per round buys nothing
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        stats2 = _edge_stats(e2)  # the ONE materializing action per round
-        iter_secs.append(round(time.time() - t_it, 3))
-        if stats2 == stats and e2.exceptAll(e).count() == 0:
-            # fingerprint matched AND exact set equality confirmed
-            e = e2
-            converged = True
+
+    def finish_driver(e_small, at_iter):
+        t0 = time.time()
+        out = _driver_finish(spark, e_small)
+        iter_secs.append(round(time.time() - t0, 3))
+        if checkpoint_store is not None:
+            checkpoint_store.write_iteration(
+                _decode_edges(out, vmap), iteration=at_iter,
+                metrics={"algorithm": "star", "converged": True, "driver_finish": True},
+            )
+        return out
+
+    if stats[0] <= driver_finish_edges:
+        it = start_iter + 1
+        e = finish_driver(e, it)
+        converged = True
+    else:
+        est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], skew_threshold)
+        for it in range(start_iter + 1, start_iter + max_iterations + 1):
+            t_it = time.time()
+            use_safe = est_maxdeg > skew_threshold
+            # no explicit repartition: the trailing distinct already hash-
+            # partitions on (src, dst), and next round's groupBys/windows
+            # re-key by center anyway
+            if use_safe:
+                e2, scratch = _star_round_safe(
+                    e, skew_threshold, spark, salted=est_nhubs > hub_broadcast_limit
+                )
+            else:
+                e2, scratch = _small_star(_large_star(e)), []
+            e2 = e2.localCheckpoint(eager=False)
+            stats2 = _edge_stats(e2)  # the ONE materializing action per round
+            for s in scratch:
+                s.unpersist()
+            iter_secs.append(round(time.time() - t_it, 3))
+            if stats2 == stats and e2.exceptAll(e).count() == 0:
+                # fingerprint matched AND exact set equality confirmed
+                e = e2
+                converged = True
+                if checkpoint_store is not None:
+                    checkpoint_store.write_iteration(
+                        _decode_edges(e, vmap), iteration=it,
+                        metrics={"algorithm": "star", "n_edges": stats2[0], "converged": True},
+                    )
+                break
+            e, stats = e2, stats2
+            if stats[0] <= driver_finish_edges:
+                it += 1
+                e = finish_driver(e, it)
+                converged = True
+                break
+            est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], skew_threshold)
             if checkpoint_store is not None:
                 checkpoint_store.write_iteration(
                     _decode_edges(e, vmap), iteration=it,
-                    metrics={"algorithm": "star", "n_edges": stats2[0], "converged": True},
+                    metrics={
+                        "algorithm": "star", "n_edges": stats2[0], "converged": False,
+                        "path": "safe" if use_safe else "window",
+                    },
                 )
-            break
-        e, stats = e2, stats2
-        if checkpoint_store is not None:
-            checkpoint_store.write_iteration(
-                _decode_edges(e, vmap), iteration=it,
-                metrics={"algorithm": "star", "n_edges": stats2[0], "converged": False},
-            )
 
     # fixed point = stars (child → component-min root); roots/isolated keep self
     labels = (

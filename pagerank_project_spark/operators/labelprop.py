@@ -42,7 +42,7 @@ from pagerank_project_spark.operators.vids import string_sorted_vids
 @dataclass
 class LPAResult:
     labels: DataFrame  # (id: string, label: string)
-    iterations: int
+    iterations: int  # actual final superstep index (resume: includes checkpointed supersteps)
     iter_secs: list[float] | None = None  # wall per superstep
 
 
@@ -55,7 +55,11 @@ def label_propagation(
     local_checkpoint_every: int = 8,  # kept for API compat
     checkpoint_store=None,
     validate_vertices: bool = True,
+    vmap: DataFrame | None = None,
 ) -> LPAResult:
+    """``vmap``: optional pre-built (id, vid) map from
+    ``vids.string_sorted_vids`` over the same vertex universe, so callers
+    running CC + LPA on one graph pay the encode jobs once."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
@@ -66,7 +70,8 @@ def label_propagation(
 
     # one-time encoding with vids in STRING-sorted order so long-vid
     # tie-breaks ≡ min-string tie-breaks (distributed; no global sort).
-    vmap = string_sorted_vids(verts, "id", nparts)
+    if vmap is None:
+        vmap = string_sorted_vids(verts, "id", nparts)
     und = (
         undirected_edges(edges)
         .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
@@ -124,7 +129,7 @@ def label_propagation(
 
     out = _decode(labels, vmap)
     und.unpersist()
-    return LPAResult(labels=out, iterations=iterations, iter_secs=iter_secs)
+    return LPAResult(labels=out, iterations=it, iter_secs=iter_secs)
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:

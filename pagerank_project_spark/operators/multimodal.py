@@ -69,31 +69,53 @@ FEATURES_SCHEMA = "media_id long, mean_px double, std_px double, p_hash string"
 def image_features(media: DataFrame) -> DataFrame:
     """Decode → per-image mean/std pixel value + a perceptual-hash-shaped
     fingerprint (md5 of the 8×8 downsample's bit pattern). Arrow-batched;
-    numpy only inside the kernel."""
+    blobs are GROUPED BY SHAPE within each batch and each group decoded
+    into one (n, h, w, c) 4-D array, so every per-pixel reduction (mean,
+    std, grayscale, 8×8 thumb, bit pattern) is a single vectorized numpy
+    call over the whole group — the only remaining per-blob step is the
+    byte-assembly (one ``np.tile`` C call per ragged-length blob; with a
+    real decoder this is the per-blob decode call itself)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one pass per blob is inherent here (ragged shapes; a real decoder
-        # is a per-blob C call) — but iterate raw columns via zip, never
-        # pandas ``iterrows`` (which builds a Series per row); all per-pixel
-        # math below is numpy over the decoded array.
         for pdf in batches:
-            ids, means, stds, hashes = [], [], [], []
-            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                px = (
-                    _real_decode_image(data)
-                    if USE_REAL_DECODERS
-                    else _fake_decode_image(data, meta)
+            if len(pdf) == 0:
+                continue
+            metas = list(pdf["meta"])
+            shapes = np.array(
+                [(int(m["height"]), int(m["width"]), int(m["channels"])) for m in metas]
+            )
+            ids_all = pdf["media_id"].to_numpy()
+            datas = list(pdf["data"])
+            out = []
+            for shp in np.unique(shapes, axis=0):
+                h, w, c = map(int, shp)
+                sel = np.flatnonzero((shapes == shp).all(axis=1))
+                if USE_REAL_DECODERS:
+                    px = np.stack([_real_decode_image(datas[i]) for i in sel])
+                else:
+                    px = np.stack(
+                        [_fake_decode_image(datas[i], metas[i]) for i in sel]
+                    )  # (n, h, w, c)
+                pxf = px.astype(np.float64)
+                means = pxf.mean(axis=(1, 2, 3))
+                stds = pxf.std(axis=(1, 2, 3))
+                g = pxf.mean(axis=3)  # (n, h, w) grayscale
+                ys = np.linspace(0, h - 1, 8).astype(int)
+                xs = np.linspace(0, w - 1, 8).astype(int)
+                thumb = g[:, ys[:, None], xs[None, :]]  # (n, 8, 8)
+                bits = (thumb > thumb.mean(axis=(1, 2), keepdims=True)).astype(np.uint8)
+                hashes = [hashlib.md5(b.tobytes()).hexdigest() for b in bits]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": ids_all[sel],
+                            "mean_px": means,
+                            "std_px": stds,
+                            "p_hash": hashes,
+                        }
+                    )
                 )
-                g = px.mean(axis=2)
-                ys = np.linspace(0, g.shape[0] - 1, 8).astype(int)
-                xs = np.linspace(0, g.shape[1] - 1, 8).astype(int)
-                thumb = g[np.ix_(ys, xs)]
-                bits = (thumb > thumb.mean()).astype(np.uint8)
-                ids.append(mid)
-                means.append(float(px.mean()))
-                stds.append(float(px.std()))
-                hashes.append(hashlib.md5(bits.tobytes()).hexdigest())
-            yield pd.DataFrame({"media_id": ids, "mean_px": means, "std_px": stds, "p_hash": hashes})
+            yield pd.concat(out, ignore_index=True)
 
     return media.filter(F.col("kind") == "image").mapInPandas(kernel, schema=FEATURES_SCHEMA)
 

@@ -48,47 +48,150 @@ def stream_edge_batches(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-def incremental_degrees(spark: SparkSession, in_dir: str, state_dir: str, checkpoint_dir: str):
-    """foreachBatch merge: per-micro-batch out-degree deltas folded into a
-    parquet state table. Returns the StreamingQuery (caller stops it).
+DEGREE_STATE_BUCKETS = 32
 
-    Exactly-once: the additive merge alone is NOT idempotent — if a
-    micro-batch is replayed after a crash between the state swap and the
-    streaming checkpoint commit, its deltas would double-count. The last
-    applied epoch_id therefore travels INSIDE each snapshot (an
-    underscore-prefixed sidecar, invisible to the parquet reader) and
-    replayed batches with epoch_id ≤ last_applied are skipped."""
+
+def _bucket_current_version(bdir: str) -> int | None:
+    """Epoch number of a bucket's live snapshot (None = bucket empty).
+    The CURRENT pointer file is updated by atomic rename, so a reader or
+    a replayed batch never sees a half-written snapshot."""
+    cur = os.path.join(bdir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip().lstrip("v"))
+
+
+def _merge_degree_batch(
+    batch_df: DataFrame, epoch_id: int, state_dir: str, lineage: str,
+    n_buckets: int = DEGREE_STATE_BUCKETS,
+) -> None:
+    """Fold one micro-batch's per-src out-degree deltas into the bucketed
+    state. Partitioned MERGE: only the src hash-buckets the batch touches
+    are read and rewritten — bytes rewritten scale with the DELTA's key
+    spread, not with the accumulated state (the round-2 design note).
+
+    Crash-/replay-safety, without any atomic multi-file commit primitive:
+    - Each bucket holds versioned snapshot dirs ``v<epoch>`` plus a
+      CURRENT pointer file swapped via ``os.replace`` (atomic on POSIX).
+      A crash mid-write leaves the old snapshot live; a crash after the
+      swap but before old-version cleanup leaves garbage that is swept
+      the next time the bucket is touched. At no instant is the only
+      copy of a bucket's state mid-delete (the round-2 rmtree+rename
+      window is gone).
+    - Idempotency is PER BUCKET: the pointer's version IS the last epoch
+      applied to that bucket, so a replayed epoch that crashed after
+      updating some buckets skips exactly those and applies the rest.
+    - Epoch ids are only monotone within one streaming-checkpoint
+      lineage; ``_meta.json`` records the lineage and a fresh lineage
+      (new checkpoint dir ⇒ the file source re-reads EVERYTHING) resets
+      the state instead of mis-comparing epoch ids across lineages."""
+    import json
+    import shutil
+
+    meta_path = os.path.join(state_dir, "_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if meta is not None and meta["lineage"] != lineage:
+        # new checkpoint lineage: epoch ids restarted from 0 and the source
+        # replays all input — rebuild from scratch (idempotent by construction)
+        for name in os.listdir(state_dir):
+            p = os.path.join(state_dir, name)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        meta = None
+    if meta is not None and epoch_id <= meta["last_applied_epoch"]:
+        return  # replayed batch — already fully folded into the state
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int"))
+        .persist()
+    )
+    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    # per-bucket idempotency: skip buckets this (replayed) epoch already hit
+    todo = []
+    for b in touched:
+        bdir = os.path.join(state_dir, f"bucket={b:03d}")
+        v = _bucket_current_version(bdir)
+        if v is None or v < epoch_id:
+            todo.append(b)
+    if todo:
+        olds = []
+        for b in todo:
+            bdir = os.path.join(state_dir, f"bucket={b:03d}")
+            v = _bucket_current_version(bdir)
+            if v is not None:
+                olds.append(
+                    spark.read.parquet(os.path.join(bdir, f"v{v:09d}"))
+                    .withColumn("bucket", F.lit(b))
+                )
+        parts = olds + [delta.filter(F.col("bucket").isin([int(b) for b in todo]))]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy("bucket", "src").agg(F.sum("outdeg").alias("outdeg"))
+        tmp_root = os.path.join(state_dir, f"_tmp_epoch_{epoch_id}")
+        # ONE job writes every touched bucket's new snapshot under tmp
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
+        for b in todo:
+            bdir = os.path.join(state_dir, f"bucket={b:03d}")
+            os.makedirs(bdir, exist_ok=True)
+            src_dir = os.path.join(tmp_root, f"bucket={b}")
+            if not os.path.exists(src_dir):
+                os.makedirs(src_dir)  # delta rows all zero? keep an empty snapshot
+            os.rename(src_dir, os.path.join(bdir, f"v{epoch_id:09d}"))
+            ptr_tmp = os.path.join(bdir, "CURRENT.tmp")
+            with open(ptr_tmp, "w") as f:
+                f.write(f"v{epoch_id:09d}")
+            os.replace(ptr_tmp, os.path.join(bdir, "CURRENT"))  # atomic swap
+            # old snapshot (and any garbage from crashed epochs) swept only
+            # AFTER the pointer moved — a crash never orphans the live copy
+            for name in os.listdir(bdir):
+                if name.startswith("v") and name != f"v{epoch_id:09d}":
+                    shutil.rmtree(os.path.join(bdir, name), ignore_errors=True)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    delta.unpersist()
+    meta_tmp = meta_path + ".tmp"
+    with open(meta_tmp, "w") as f:
+        json.dump(
+            {"lineage": lineage, "last_applied_epoch": epoch_id, "n_buckets": n_buckets}, f
+        )
+    os.replace(meta_tmp, meta_path)
+
+
+def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union of every bucket's live snapshot → (src, outdeg)."""
+    paths = []
+    for name in sorted(os.listdir(state_dir)):
+        bdir = os.path.join(state_dir, name)
+        if not name.startswith("bucket="):
+            continue
+        v = _bucket_current_version(bdir)
+        if v is not None:
+            p = os.path.join(bdir, f"v{v:09d}")
+            if os.listdir(p):  # skip empty snapshots (no parquet footers)
+                paths.append(p)
+    if not paths:
+        return spark.createDataFrame([], "src string, outdeg long")
+    return spark.read.parquet(*paths)
+
+
+def incremental_degrees(spark: SparkSession, in_dir: str, state_dir: str, checkpoint_dir: str):
+    """foreachBatch maintenance of a persistent out-degree table — the
+    streaming analogue of op-7 (reference pagerank.py:50-61). Returns the
+    StreamingQuery (caller stops it). State layout, exactly-once and
+    partitioned-MERGE semantics: see ``_merge_degree_batch``. Read the
+    state back with ``read_degree_state``."""
     os.makedirs(state_dir, exist_ok=True)
     edges = spark.readStream.schema(EDGE_BATCH_SCHEMA).parquet(in_dir)
+    lineage = os.path.abspath(checkpoint_dir)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        import json
-        import shutil
-
-        cur_path = os.path.join(state_dir, "current")
-        marker = os.path.join(cur_path, "_epoch_id.json")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if epoch_id <= json.load(f)["last_applied_epoch"]:
-                    return  # replayed batch — already folded into the state
-        delta = batch_df.groupBy("src").agg(F.count("*").alias("outdeg"))
-        if os.path.exists(cur_path):
-            cur = batch_df.sparkSession.read.parquet(cur_path)
-            merged = (
-                cur.unionByName(delta)
-                .groupBy("src")
-                .agg(F.sum("outdeg").alias("outdeg"))
-            )
-        else:
-            merged = delta
-        tmp = os.path.join(state_dir, f"epoch={epoch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_epoch_id.json"), "w") as f:
-            json.dump({"last_applied_epoch": epoch_id}, f)
-        # atomic swap: the new snapshot (data + epoch marker) becomes current
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        _merge_degree_batch(batch_df, epoch_id, state_dir, lineage)
 
     return (
         edges.writeStream.foreachBatch(merge)

@@ -69,9 +69,11 @@ def test_cc_checkpoint_resume(spark, small_rows, tmp_path):
     full = {r["id"]: r["component"] for r in connected_components(spark, edges).labels.collect()}
 
     store = CheckpointStore(str(tmp_path), "cc")
-    connected_components(spark, edges, max_iterations=2, checkpoint_store=store)
+    # driver_finish_edges=0 pins the DISTRIBUTED mid-run checkpoint/resume
+    # path (the driver tail shortcut has its own tests in test_round3.py)
+    connected_components(spark, edges, max_iterations=2, checkpoint_store=store, driver_finish_edges=0)
     assert store.latest_iteration() == 2
-    res = connected_components(spark, edges, checkpoint_store=store)
+    res = connected_components(spark, edges, checkpoint_store=store, driver_finish_edges=0)
     resumed = {r["id"]: r["component"] for r in res.labels.collect()}
     assert resumed == full
     final = store.metrics()[store.latest_iteration()]

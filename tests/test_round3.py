@@ -1,0 +1,353 @@
+"""Round-3 additions: hub-skew-safe star-CC rounds (window ↔ groupBy+
+broadcast-hub hybrid), driver-side tail finish, synonym-table collect
+guard, shared vmap across graph ops, LPA actual-iteration reporting."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_project_spark.operators.components import (
+    _large_star,
+    _large_star_safe,
+    _skew_estimate,
+    _small_star,
+    _small_star_safe,
+    connected_components,
+)
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+
+
+def _nx_labels(nodes, rows):
+    g = nx.Graph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(rows)
+    exp = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+    return exp
+
+
+def _hub_graph(spark, n_leaves):
+    """One ≥n_leaves-degree hub + a path + a disconnected clique-ish blob —
+    the skew fixture the round-2 verdict asked for."""
+    hub = spark.range(n_leaves).select(
+        F.lit("hub0").alias("src"), F.format_string("leaf%07d", "id").alias("dst")
+    )
+    path = spark.range(40).select(
+        F.format_string("p%03d", "id").alias("src"),
+        F.format_string("p%03d", F.col("id") + 1).alias("dst"),
+    )
+    blob = spark.range(30).select(
+        F.format_string("q%03d", F.pmod(F.col("id") * 7, F.lit(30))).alias("src"),
+        F.format_string("q%03d", F.pmod(F.col("id") * 11 + 3, F.lit(30))).alias("dst"),
+    )
+    return hub.unionByName(path).unionByName(blob)
+
+
+# --- hub-skew-safe star rounds ----------------------------------------------
+
+
+def test_star_cc_hub_fixture_exact_labels(spark):
+    """≥100k-degree hub, DEFAULT skew_threshold (so the safe path triggers
+    exactly as it would in production), fully-distributed rounds: labels
+    must match networkx and the propagation oracle exactly."""
+    n_leaves = 120_000
+    e = _hub_graph(spark, n_leaves)
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    nodes = sorted({s for s, _ in rows} | {t for _, t in rows})
+    exp = _nx_labels(nodes, rows)
+
+    res = connected_components(spark, e, driver_finish_edges=0)
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert got == exp
+    assert res.converged
+
+    res_p = connected_components(spark, e, algorithm="propagation")
+    got_p = {r["id"]: r["component"] for r in res_p.labels.collect()}
+    assert got_p == exp
+
+
+def test_safe_round_paths_equal_windowed(spark):
+    """Windowed and skew-safe star ops produce identical edge multisets/
+    sets on random graphs (broadcast-hub AND salted variants)."""
+    rng = random.Random(23)
+    rows = list({(f"v{rng.randrange(120):03d}", f"v{rng.randrange(120):03d}") for _ in range(260)})
+    rows = [(s, t) for s, t in rows if s != t]
+    e = edges_df(spark, rows).filter(F.col("src") > F.col("dst"))
+
+    ls_w = sorted(map(tuple, _large_star(e).collect()))
+    for salted in (False, True):
+        out, mins = _large_star_safe(e, 5, spark, salted=salted)
+        assert sorted(map(tuple, out.collect())) == ls_w
+        mins.unpersist()
+
+    ss_w = sorted(map(tuple, _small_star(e).collect()))
+    for salted in (False, True):
+        out, mins = _small_star_safe(e, 5, spark, salted=salted)
+        assert sorted(map(tuple, out.collect())) == ss_w
+        mins.unpersist()
+
+
+def test_safe_path_plan_has_no_window_and_broadcasts_hubs(spark):
+    """The skew-safe round must not contain a Window operator anywhere
+    (the windowed per-center min is exactly the hub-buffering the safe
+    path exists to avoid) and must route hub keys through a broadcast
+    join; the windowed round keeps its Window (the low-skew fast path)."""
+    rows = [("h0", f"l{i:04d}") for i in range(2000)] + [("a1", "b2"), ("b2", "c3")]
+    e = edges_df(spark, rows).select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    out, mins = _large_star_safe(e, 100, spark, salted=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    mins.unpersist()
+
+    out2, mins2 = _small_star_safe(e, 100, spark, salted=False)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan2
+    mins2.unpersist()
+
+    assert "Window" in _large_star(e)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_safe_path_bounds_shuffled_rows_per_task(spark):
+    """The task-skew assertion: hash-partitioning the symmetrized hub graph
+    by center (what the window path shuffles) puts the hub's whole
+    neighborhood in ONE partition; the safe path's residual shuffle (hub
+    keys already resolved map-side via broadcast) stays balanced."""
+    n_leaves = 50_000
+    sym_src = _hub_graph(spark, n_leaves)
+    sym = sym_src.unionByName(
+        sym_src.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def max_med(df):
+        sizes = sorted(
+            r["n"]
+            for r in df.repartition(8, "src")
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return sizes[-1], sizes[len(sizes) // 2]
+
+    mx_window, med_window = max_med(sym)
+    assert mx_window >= n_leaves  # the hub partition — the curse of the last reducer
+
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mv"), F.count("*").alias("deg")).persist()
+    hub = mins.filter(F.col("deg") > 1000).select(F.col("src").alias("_hk"), F.col("mv").alias("_hmv"))
+    resid = sym.join(F.broadcast(hub), F.col("src") == F.col("_hk"), "left").filter(
+        F.col("_hmv").isNull()
+    )
+    mx_safe, med_safe = max_med(resid.select("src", "dst"))
+    mins.unpersist()
+    assert mx_safe < n_leaves / 4  # hub rows never shuffle on the center key
+    assert mx_safe <= 4 * max(med_safe, 1)  # balanced residual
+
+
+def test_skew_estimate_exact_at_small_scale(spark):
+    e = _hub_graph(spark, 5000)
+    n = e.count()
+    est_max, est_hubs = _skew_estimate(e, n, skew_threshold=1000)
+    assert est_max == 5000  # exact: sample rate 1 below the target
+    assert est_hubs == 1
+
+
+# --- driver-side tail finish -------------------------------------------------
+
+
+def test_driver_finish_equals_distributed(spark):
+    rng = random.Random(31)
+    nodes = [f"n{i:04d}" for i in range(500)]
+    rows = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(600)]
+    rows = [(s, t) for s, t in rows if s != t]
+    verts = spark.createDataFrame([(v,) for v in nodes], "id string")
+    e = edges_df(spark, rows)
+
+    full = connected_components(spark, e, vertices=verts, driver_finish_edges=0)
+    tail = connected_components(spark, e, vertices=verts, driver_finish_edges=10**9)
+    a = {r["id"]: r["component"] for r in full.labels.collect()}
+    b = {r["id"]: r["component"] for r in tail.labels.collect()}
+    assert a == b == _nx_labels(nodes, rows)
+    assert tail.converged and tail.iterations == 1  # one driver-finish step
+
+
+def test_driver_finish_mid_run_threshold(spark, tmp_path):
+    """Threshold between initial and contracted size: a couple of real
+    rounds run, then the tail is finished driver-side — labels identical
+    to the fully-distributed run. (A dense-ish graph: star contraction
+    shrinks the edge count toward |support| − #components, so the edge
+    count only falls when there are cycles/redundant edges to contract —
+    a tree would stay at n−1 edges every round.)"""
+    rng = random.Random(41)
+    nodes = [f"m{i:04d}" for i in range(400)]
+    rows = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(2600)})
+    rows = [(s, t) for s, t in rows if s != t]
+    e = edges_df(spark, rows)
+    full = connected_components(spark, e, driver_finish_edges=0)
+    from pagerank_project_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), "cc_mid")
+    mid = connected_components(spark, e, driver_finish_edges=900, checkpoint_store=store)
+    a = {r["id"]: r["component"] for r in full.labels.collect()}
+    b = {r["id"]: r["component"] for r in mid.labels.collect()}
+    assert a == b
+    final = store.metrics()[store.latest_iteration()]
+    assert final.get("driver_finish") is True  # the tail really was cut short
+    assert mid.iterations > 1  # …but only after at least one real round
+
+
+# --- synonym-table guard -----------------------------------------------------
+
+
+def test_table_synonyms_over_cap_raises(spark):
+    from pagerank_project_spark.functions.synonyms import TableSynonyms
+
+    big = spark.range(60).select(
+        F.format_string("w%03d", "id").alias("word"),
+        F.format_string("n%03d", "id").alias("neighbor"),
+        F.lit(0.5).alias("sim"),
+    )
+    with pytest.raises(ValueError, match="collect budget"):
+        TableSynonyms(big, max_vocab=10)  # cap = 50 < 60 rows
+    # under budget still works
+    t = TableSynonyms(big.limit(40), max_vocab=10)
+    assert t.most_similar("w001", 3) == [("n001", 0.5)]
+
+
+# --- shared vmap across graph ops -------------------------------------------
+
+
+def test_shared_vmap_matches_per_op_encode(spark, small_rows):
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.operators.pagerank import build_vertices
+    from pagerank_project_spark.operators.vids import string_sorted_vids
+
+    e = edges_df(spark, small_rows)
+    verts = build_vertices(e, None)
+    vmap = string_sorted_vids(verts, "id", 8)
+
+    cc_a = connected_components(spark, e, driver_finish_edges=0)
+    cc_b = connected_components(spark, e, driver_finish_edges=0, vmap=vmap)
+    assert sorted(map(tuple, cc_a.labels.collect())) == sorted(map(tuple, cc_b.labels.collect()))
+
+    lpa_a = label_propagation(spark, e, iterations=3)
+    lpa_b = label_propagation(spark, e, iterations=3, vmap=vmap)
+    assert sorted(map(tuple, lpa_a.labels.collect())) == sorted(map(tuple, lpa_b.labels.collect()))
+    vmap.unpersist()
+
+
+# --- bucketed streaming-degree MERGE ----------------------------------------
+
+
+def _deg_batch(spark, rows):
+    pdf = pd.DataFrame(
+        [(s, d, "import", pd.Timestamp("2024-01-01")) for s, d in rows],
+        columns=["src", "dst", "kind", "event_ts"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_degree_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bytes rewritten scale with the delta, not the state: a second batch
+    touching one src must leave every other bucket's snapshot untouched
+    on disk (same version dir, same files)."""
+    import os
+
+    from pagerank_project_spark.streaming.edge_stream import (
+        _merge_degree_batch,
+        read_degree_state,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    rows = [(f"s{i:03d}", "t") for i in range(200)]
+    _merge_degree_batch(_deg_batch(spark, rows), 0, state, "lineageA")
+
+    def snapshot(d):
+        out = {}
+        for b in sorted(os.listdir(d)):
+            if b.startswith("bucket="):
+                bdir = os.path.join(d, b)
+                with open(os.path.join(bdir, "CURRENT")) as f:
+                    v = f.read()
+                files = sorted(os.listdir(os.path.join(bdir, v)))
+                out[b] = (v, files)
+        return out
+
+    before = snapshot(state)
+    assert len(before) > 4  # the 200 keys hash across many buckets
+
+    _merge_degree_batch(_deg_batch(spark, [("s000", "x"), ("s000", "y")]), 1, state, "lineageA")
+    after = snapshot(state)
+    changed = [b for b in before if after[b] != before[b]]
+    assert len(changed) == 1  # only s000's bucket was rewritten
+    got = {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()}
+    assert got["s000"] == 3 and got["s001"] == 1 and len(got) == 200
+
+
+def test_degree_merge_per_bucket_replay_idempotent(spark, tmp_path):
+    """A replayed epoch (crash between bucket pointer swap and streaming
+    commit) must skip exactly the buckets it already updated."""
+    import os
+
+    from pagerank_project_spark.streaming.edge_stream import (
+        _merge_degree_batch,
+        read_degree_state,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    batch = _deg_batch(spark, [("a", "x"), ("a", "y"), ("b", "x")])
+    _merge_degree_batch(batch, 0, state, "L")
+    # crash-replay: same epoch re-applied (meta says applied → whole skip);
+    # also simulate a lost meta (worst case) — per-bucket versions still skip
+    _merge_degree_batch(batch, 0, state, "L")
+    os.remove(os.path.join(state, "_meta.json"))
+    _merge_degree_batch(batch, 0, state, "L")
+    got = {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_degree_merge_lineage_reset(spark, tmp_path):
+    import os
+
+    from pagerank_project_spark.streaming.edge_stream import (
+        _merge_degree_batch,
+        read_degree_state,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    _merge_degree_batch(_deg_batch(spark, [("a", "x")]), 0, state, "L1")
+    _merge_degree_batch(_deg_batch(spark, [("a", "y")]), 1, state, "L1")
+    assert {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()} == {"a": 2}
+    # fresh lineage re-delivers everything from epoch 0: rebuild, not skip
+    _merge_degree_batch(_deg_batch(spark, [("a", "x"), ("a", "y")]), 0, state, "L2")
+    assert {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()} == {"a": 2}
+
+
+def test_lpa_reports_actual_iterations(spark, small_rows, tmp_path):
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.plans.checkpoint import CheckpointStore
+
+    e = edges_df(spark, small_rows)
+    assert label_propagation(spark, e, iterations=3).iterations == 3
+
+    store = CheckpointStore(str(tmp_path), "lpa")
+    label_propagation(spark, e, iterations=2, checkpoint_store=store)
+    # resume target already reached: no superstep runs; report where we are
+    assert label_propagation(spark, e, iterations=2, checkpoint_store=store).iterations == 2
+    assert label_propagation(spark, e, iterations=4, checkpoint_store=store).iterations == 4

@@ -52,14 +52,16 @@ def test_incremental_degree_state(spark, tmp_path):
     _write_batch(spark, in_dir, [("a", "b", "import", 1), ("a", "c", "import", 2), ("b", "c", "import", 3)])
     q = incremental_degrees(spark, in_dir, state, ckpt)
     q.awaitTermination()
-    got = {r["src"]: r["outdeg"] for r in spark.read.parquet(os.path.join(state, "current")).collect()}
+    from pagerank_project_spark.streaming.edge_stream import read_degree_state
+
+    got = {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()}
     assert got == {"a": 2, "b": 1}
 
     # second batch folds into existing state (new query, same checkpoint)
     _write_batch(spark, in_dir, [("a", "d", "import", 9), ("c", "a", "import", 10)])
     q2 = incremental_degrees(spark, in_dir, state, ckpt)
     q2.awaitTermination()
-    got = {r["src"]: r["outdeg"] for r in spark.read.parquet(os.path.join(state, "current")).collect()}
+    got = {r["src"]: r["outdeg"] for r in read_degree_state(spark, state).collect()}
     assert got == {"a": 3, "b": 1, "c": 1}
 
 
