@@ -365,6 +365,30 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(spark, _t(spark, sf_dir, "embeddings"), k=5)
 
 
+# the synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51
+# at sf0.01), so a true near-dup threshold (0.9) would oracle-match only
+# the empty set; 0.3 keeps the same operator semantics with a non-trivial
+# (~1k-pair) answer. Planted-duplicate recall at 0.9 is pinned by pytest.
+NEAR_DUP_THRESHOLD = 0.3
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from pagerank_project_spark.operators.similarity import cosine_near_pairs_exact
+
+    return cosine_near_pairs_exact(
+        spark, _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    from pagerank_project_spark.operators.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(
+        spark, _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD,
+        bands=16, rows_per_band=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operator families (SURVEY.md §2)
@@ -397,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     }
 
 
@@ -784,6 +810,14 @@ SELECT vec_id, neighbor, cosine FROM ranked WHERE rn <= 5
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "embedding_near_dup": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a, b, cosine FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+  FROM v x JOIN v y ON x.vec_id < y.vec_id
+) WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """,
         "synonym_topk": _synonym_topk_sql(min_count=20, topn=3),
         **_code_oracles(),

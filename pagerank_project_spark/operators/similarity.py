@@ -202,18 +202,18 @@ def ivf_topk(
 SIG_SCHEMA = "vec_id long, band int, bh long"
 
 
-def lsh_topk(
+def _lsh_signatures(
     spark: SparkSession,
     embeddings: DataFrame,
-    k: int = 10,
-    bands: int = 8,
-    rows_per_band: int = 4,
-    seed: int = 23,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH banding +
-    exact rerank of bucket collisions. → (vec_id, neighbor, cosine)."""
+    """Random-hyperplane band signatures → (vec_id, band, bh). Shared by
+    ``lsh_topk`` and ``cosine_near_pairs``; one Arrow pass, bit-packing
+    vectorized per band."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
@@ -236,7 +236,22 @@ def lsh_topk(
                 frames.append(pd.DataFrame({"vec_id": ids, "band": bi, "bh": bh}))
             yield pd.concat(frames)
 
-    sigs = embeddings.select(id_col, vec_col).mapInPandas(sig_kernel, schema=SIG_SCHEMA)
+    return embeddings.select(id_col, vec_col).mapInPandas(sig_kernel, schema=SIG_SCHEMA)
+
+
+def lsh_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 10,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding +
+    exact rerank of bucket collisions. → (vec_id, neighbor, cosine)."""
+    sigs = _lsh_signatures(spark, embeddings, bands, rows_per_band, seed, id_col, vec_col)
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["band", "bh"])
@@ -248,9 +263,87 @@ def lsh_topk(
     return _exact_rerank_topk(cand, vecs, k, id_col, vec_col)
 
 
-def _exact_rerank_topk(cand: DataFrame, vecs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
-    """Exact cosine over candidate pairs (a, b), expression-level
-    (zip_with + aggregate, float64) + per-query Window top-k."""
+NEAR_PAIRS_SCHEMA = "a long, b long, cosine double"
+
+
+def cosine_near_pairs(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (the scale path): random-hyperplane
+    LSH banding proposes candidates (never all-pairs — same bucketing
+    discipline as MinHash-LSH on text), then an exact expression-level
+    cosine rerank keeps pairs ≥ ``threshold``. → (a, b, cosine), a < b.
+
+    Recall is the banding collision curve 1-(1-p^r)^b with
+    p = 1 - arccos(cos θ)/π — near 1.0 for true near-dups (cos ≥ 0.9)
+    at the defaults; tests assert a planted-duplicate recall floor and
+    candidates ⊆ exact. Use ``cosine_near_pairs_exact`` as the bounded
+    verifier / oracle twin."""
+    sigs = _lsh_signatures(spark, embeddings, bands, rows_per_band, seed, id_col, vec_col)
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "bh"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    return _pair_cosines(cand, vecs, id_col, vec_col).filter(F.col("cosine") >= threshold)
+
+
+def cosine_near_pairs_exact(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs — the verifier twin of
+    ``cosine_near_pairs`` (role of ``ngram_jaccard_pairs`` vs MinHash-LSH):
+    all pairs (a < b) with cosine ≥ ``threshold``. The vector set rides
+    along as a bounded, hard-guarded broadcast matrix while the corpus
+    STREAMS through ``mapInPandas`` (one BLAS product per Arrow batch;
+    nothing unbounded ever reaches the driver) — so it scales in the
+    corpus dimension, and the quadratic term is explicit in the broadcast
+    budget. Rounds to 6 decimals BEFORE thresholding so the cut is
+    reproducible across engines with different fp sum orders."""
+    qpdf = embeddings.select(id_col, vec_col).limit(QUERY_BROADCAST_LIMIT + 1).toPandas()
+    if len(qpdf) > QUERY_BROADCAST_LIMIT:
+        raise ValueError(
+            f"vector set exceeds the broadcast budget ({QUERY_BROADCAST_LIMIT} rows); "
+            "use cosine_near_pairs (LSH-bucketed) for unbounded near-dup workloads"
+        )
+    qids = qpdf[id_col].to_numpy(np.int64)
+    qmat = _unit_rows(np.stack(qpdf[vec_col].to_numpy()).astype(np.float64))
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_qmat = spark.sparkContext.broadcast(qmat)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qids, Q = b_qids.value, b_qmat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cids = pdf[id_col].to_numpy(np.int64)
+            sims = np.round(Q @ cmat.T, 6)
+            mask = (sims >= threshold) & (Qids[:, None] < cids[None, :])
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame({"a": Qids[qi], "b": cids[ci], "cosine": sims[qi, ci]})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=NEAR_PAIRS_SCHEMA)
+
+
+def _pair_cosines(cand: DataFrame, vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine over candidate pairs (a, b) → (a, b, cosine),
+    expression-level (zip_with + aggregate, float64, codegen'd — no
+    Python in this path), rounded to 6 decimals."""
     pairs = (
         cand.join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va")), "a")
         .join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb")), "b")
@@ -261,10 +354,15 @@ def _exact_rerank_topk(cand: DataFrame, vecs: DataFrame, k: int, id_col: str, ve
         lambda acc, z: acc + z,
     )
     nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, z: a + z))  # noqa: E731
-    scored = pairs.select(
-        F.col("a").alias("vec_id"),
-        F.col("b").alias("neighbor"),
-        F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias("cosine"),
+    return pairs.select(
+        "a", "b", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias("cosine")
+    )
+
+
+def _exact_rerank_topk(cand: DataFrame, vecs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine over candidate pairs + per-query Window top-k."""
+    scored = _pair_cosines(cand, vecs, id_col, vec_col).select(
+        F.col("a").alias("vec_id"), F.col("b").alias("neighbor"), "cosine"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

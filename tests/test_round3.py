@@ -351,3 +351,72 @@ def test_lpa_reports_actual_iterations(spark, small_rows, tmp_path):
     # resume target already reached: no superstep runs; report where we are
     assert label_propagation(spark, e, iterations=2, checkpoint_store=store).iterations == 2
     assert label_propagation(spark, e, iterations=4, checkpoint_store=store).iterations == 4
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+def _planted_corpus(np, n_base=300, n_dups=40, d=24, seed=11):
+    """Random base vectors + planted near-duplicates (small perturbation →
+    cosine ≥ ~0.97). Returns (pdf, expected near-dup id pairs at 0.9)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, d))
+    src = rng.choice(n_base, size=n_dups, replace=False)
+    dups = base[src] + 0.08 * rng.standard_normal((n_dups, d))
+    mat = np.vstack([base, dups]).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n_base + n_dups), "embedding": list(mat)}
+    )
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    ii, jj = np.nonzero(np.triu(sims >= 0.9, k=1))
+    return pdf, {(int(i), int(j)) for i, j in zip(ii, jj)}, sims
+
+
+def test_cosine_near_pairs_exact_matches_numpy(spark):
+    import numpy as np
+
+    from pagerank_project_spark.operators.similarity import cosine_near_pairs_exact
+
+    pdf, expected, sims = _planted_corpus(np)
+    vecs = spark.createDataFrame(pdf).repartition(8)
+    got = cosine_near_pairs_exact(spark, vecs, threshold=0.9).toPandas()
+    assert {(int(r.a), int(r.b)) for r in got.itertuples()} == expected
+    for r in got.itertuples():
+        assert r.cosine == pytest.approx(sims[int(r.a), int(r.b)], abs=1e-9)
+
+
+def test_cosine_near_pairs_lsh_subset_and_recall(spark):
+    """LSH candidates after exact rerank ⊆ exact pairs; recall on planted
+    near-dups (cosine ≥ 0.9 — the operator's actual regime) ≥ 0.9."""
+    import numpy as np
+
+    from pagerank_project_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_exact,
+    )
+
+    pdf, expected, _ = _planted_corpus(np)
+    vecs = spark.createDataFrame(pdf).repartition(8)
+    exact = {
+        (int(r.a), int(r.b))
+        for r in cosine_near_pairs_exact(spark, vecs, threshold=0.9).toPandas().itertuples()
+    }
+    got = {
+        (int(r.a), int(r.b))
+        for r in cosine_near_pairs(spark, vecs, threshold=0.9, bands=16, rows_per_band=2)
+        .toPandas()
+        .itertuples()
+    }
+    assert got <= exact  # rerank is exact: no false positives, ever
+    assert expected and len(got & expected) / len(expected) >= 0.9
+
+
+def test_cosine_near_pairs_exact_budget_guard(spark, monkeypatch):
+    import pagerank_project_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "QUERY_BROADCAST_LIMIT", 3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2, 3, 4], "embedding": [[1.0, 0.0]] * 5})
+    )
+    with pytest.raises(ValueError, match="broadcast budget"):
+        sim.cosine_near_pairs_exact(spark, df, threshold=0.5)
