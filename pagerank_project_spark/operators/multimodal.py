@@ -153,6 +153,121 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+def _real_decode_audio(data: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real audio decode requires soundfile/av — not in this container; "
+        "deterministic fake decoder used instead (USE_REAL_DECODERS=False)"
+    )
+
+
+AUDIO_SCHEMA = "media_id long, duration_sec double, rms double, zero_cross_rate double"
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """PCM features per audio blob: duration (from meta sample_rate), RMS
+    energy, zero-crossing rate. Fake decode = blob bytes reinterpreted as
+    int16 little-endian PCM (deterministic; real path env-gated exactly
+    like images). Blobs are GROUPED BY BYTE LENGTH within each Arrow
+    batch so every reduction runs as one vectorized numpy call over a
+    (n, samples) matrix — same batching discipline as ``image_features``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all = pdf["media_id"].to_numpy()
+            datas = list(pdf["data"])
+            srs = np.array([int(m["sample_rate"] or 0) for m in pdf["meta"]])
+            lens = np.array([len(d) for d in datas])
+            out = []
+            for ln in np.unique(lens):
+                sel = np.flatnonzero(lens == ln)
+                if ln < 2:
+                    out.append(
+                        pd.DataFrame(
+                            {"media_id": ids_all[sel], "duration_sec": 0.0,
+                             "rms": 0.0, "zero_cross_rate": 0.0}
+                        )
+                    )
+                    continue
+                if USE_REAL_DECODERS:
+                    pcm = np.stack([_real_decode_audio(datas[i]) for i in sel])
+                else:
+                    pcm = np.stack(
+                        [np.frombuffer(datas[i][: ln - ln % 2], dtype="<i2") for i in sel]
+                    ).astype(np.float64)  # (n, samples)
+                x = pcm / 32768.0
+                sr = srs[sel].astype(np.float64)
+                dur = np.where(sr > 0, x.shape[1] / np.maximum(sr, 1), 0.0)
+                rms = np.sqrt((x * x).mean(axis=1))
+                zc = (np.diff(np.signbit(x), axis=1) != 0).mean(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {"media_id": ids_all[sel], "duration_sec": dur,
+                         "rms": rms, "zero_cross_rate": zc}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def image_resize(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Nearest-neighbor resize → same (media_id, kind, meta, data) media
+    layout with (out_h, out_w, c) thumbnails, so resized tables compose
+    with every other media operator. Shape-grouped 4-D batches; the
+    resample is one fancy-index gather per group — no per-pixel or
+    per-blob Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            metas = list(pdf["meta"])
+            shapes = np.array(
+                [(int(m["height"]), int(m["width"]), int(m["channels"])) for m in metas]
+            )
+            ids_all = pdf["media_id"].to_numpy()
+            datas = list(pdf["data"])
+            out = []
+            for shp in np.unique(shapes, axis=0):
+                h, w, c = map(int, shp)
+                sel = np.flatnonzero((shapes == shp).all(axis=1))
+                if USE_REAL_DECODERS:
+                    px = np.stack([_real_decode_image(datas[i]) for i in sel])
+                else:
+                    px = np.stack([_fake_decode_image(datas[i], metas[i]) for i in sel])
+                ys = np.linspace(0, h - 1, out_h).astype(int)
+                xs = np.linspace(0, w - 1, out_w).astype(int)
+                thumb = px[:, ys[:, None], xs[None, :], :]  # (n, out_h, out_w, c)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": ids_all[sel],
+                            "kind": "image",
+                            "meta": [
+                                {"width": out_w, "height": out_h, "channels": c,
+                                 "sample_rate": 0, "n_frames": 0}
+                            ] * len(sel),
+                            "data": [bytearray(t.tobytes()) for t in thumb],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def synthesize_media(spark: SparkSession, n: int = 24, seed: int = 5) -> DataFrame:
     """Deterministic fake media table for tests (blob = seeded bytes)."""
     rng = np.random.default_rng(seed)

@@ -269,3 +269,43 @@ def test_ivf_topk_recall_and_precision(spark, emb, emb_np):
     for r in similarity.ivf_topk(spark, emb, k=5, n_centroids=8, nprobe=3).collect():
         again.setdefault(r["vec_id"], []).append((r["neighbor"], r["cosine"]))
     assert got == again
+
+
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    media = multimodal.synthesize_media(spark, n=12)
+    rows = {r["media_id"]: r for r in media.collect() if r["kind"] == "audio"}
+    out = {r["media_id"]: r for r in multimodal.audio_features(media).collect()}
+    assert set(out) == set(rows)
+    for mid, r in rows.items():
+        data = bytes(r["data"])
+        pcm = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2").astype(np.float64)
+        x = pcm / 32768.0
+        assert out[mid]["rms"] == pytest.approx(float(np.sqrt((x * x).mean())), abs=1e-12)
+        assert out[mid]["duration_sec"] == pytest.approx(len(x) / r["meta"]["sample_rate"], abs=1e-12)
+        assert out[mid]["zero_cross_rate"] == pytest.approx(
+            float((np.diff(np.signbit(x)) != 0).mean()), abs=1e-12
+        )
+
+
+def test_image_resize_composes_with_features(spark):
+    import numpy as np
+
+    media = multimodal.synthesize_media(spark, n=12)
+    small = multimodal.image_resize(media, out_h=8, out_w=8)
+    rows = small.collect()
+    assert len(rows) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in rows:
+        assert r["meta"]["height"] == 8 and r["meta"]["width"] == 8
+        assert len(bytes(r["data"])) == 8 * 8 * r["meta"]["channels"]
+    # resized table is a valid media table: features over it must run and
+    # equal features computed on driver-side nearest-neighbor thumbnails
+    feats = {r["media_id"]: r["mean_px"] for r in multimodal.image_features(small).collect()}
+    for r in (x for x in media.collect() if x["kind"] == "image"):
+        h, w, c = r["meta"]["height"], r["meta"]["width"], r["meta"]["channels"]
+        px = multimodal._fake_decode_image(bytes(r["data"]), r["meta"])
+        ys = np.linspace(0, h - 1, 8).astype(int)
+        xs = np.linspace(0, w - 1, 8).astype(int)
+        exp = px[ys[:, None], xs[None, :], :].astype(np.float64).mean()
+        assert feats[r["media_id"]] == pytest.approx(float(exp), abs=1e-9)
