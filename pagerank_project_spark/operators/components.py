@@ -32,7 +32,11 @@ Two algorithms over the same substrate:
     per-center min is a window aggregate over partitionBy(center) — one
     exchange + one in-partition pass per star op (measured 1.64× faster
     per round than groupBy+join at sf4).
-  * skewed rounds (est. max symmetric degree > ``skew_threshold``) →
+  * skewed rounds (est. max symmetric degree > the round's hub cutoff —
+    by default ``SKEW_TASK_RATIO × 2·|E|/nparts``, i.e. relative to the
+    round's average rows-per-task, because a hub only hurts when its
+    neighbor multiset rivals a task's whole share; an absolute cutoff
+    misfires in both directions) →
     SKEW-SAFE path (``_large_star_safe``/``_small_star_safe``): the
     window would buffer a hub's ENTIRE neighbor multiset in one task
     (the "curse of the last reducer" — and star contraction *creates*
@@ -79,17 +83,38 @@ to resume under the other.
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pagerank_project_spark.operators.vids import string_sorted_vids
 
+logger = logging.getLogger(__name__)
+
 # Rows of hub (center → min) pairs broadcast per star op before the salted
 # fallback kicks in. 1M rows ≈ 24 MB serialized — comfortably under the
 # executor broadcast budget; power-law graphs have orders of magnitude fewer
 # keys above any sane skew_threshold.
 HUB_BROADCAST_LIMIT = 1_000_000
+# Dynamic skew threshold: a center is a "hub" when its symmetric degree
+# exceeds this fraction of the AVERAGE rows-per-task of the round's
+# symmetrized edge multiset (2·|E|/nparts). Skew harm is relative — a
+# 2.6M-degree hub inside 32M-row tasks is 8% of one task (harmless; the
+# window path wins), the same hub inside 100k-row tasks at higher
+# parallelism serializes the round (safe path required). An ABSOLUTE
+# degree cutoff gets this wrong in both directions, which is why the
+# default is ratio-based; pass skew_threshold explicitly to override.
+SKEW_TASK_RATIO = 0.5
+# Floor so micro-graphs never flap between paths on estimate noise.
+MIN_SKEW_THRESHOLD = 65_536
+# Leaf peeling engages when a round shrinks the edge multiset by less
+# than this factor ("stalled" contraction: the measured failure mode is a
+# giant component whose star forms in ~2 rounds, after which every round
+# re-scans millions of settled star children to chase a few thousand
+# still-active edges — at sf4, rounds 3-13 moved 0.24% of 3.8M edges).
+PEEL_STALL_RATIO = 0.7
 # Edges sampled per round for the skew estimate (estimate error only ever
 # mis-picks the physical path, never changes results).
 DEGREE_SAMPLE_TARGET = 2_000_000
@@ -291,6 +316,61 @@ def _skew_estimate(e: DataFrame, n_edges: int, skew_threshold: int) -> tuple[int
     return int(row["m"] or 0) * p_inv, int(row["nh"] or 0)
 
 
+def _peel_leaves(e: DataFrame) -> DataFrame:
+    """Tag each edge of the canonical (src > dst) multiset with whether its
+    src is a LEAF — a vertex whose single occurrence in the whole multiset
+    is that src slot. Returns e + boolean ``_settle``.
+
+    Soundness of setting leaf edges aside: both star ops preserve the
+    src > dst orientation, so a leaf v of edge (v, r) is never any
+    center's neighborhood minimum (r < v is always present), and with no
+    other incident edge v's only future role is being re-pointed toward
+    r's component minimum — which final resolution performs directly
+    (label(v) := final label(r); v and r are connected, hence share it).
+    Removing the edge changes no other vertex's min in either star op.
+    The settled pile forms a FOREST (each src settles exactly once, its
+    parent settles only in a LATER peel or never), so chains resolve by
+    pointer jumping in ≤ ⌈log₂(#peels)⌉+1 self-joins."""
+    occ = (
+        e.select(F.explode(F.array("src", "dst")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("_c"))
+    )
+    leaves = occ.filter(F.col("_c") == 1).select(F.col("k").alias("_leaf"))
+    return (
+        e.join(leaves, e.src == F.col("_leaf"), "left")
+        .select("src", "dst", F.col("_leaf").isNotNull().alias("_settle"))
+    )
+
+
+def _resolve_settled(settled_parts: list[DataFrame], active_map: DataFrame) -> DataFrame:
+    """Resolve the settled forest (src → parent) to (src, _root) labels.
+    Pointer-jump until every parent is terminal (not itself a settled
+    src), then read the terminal's root off the active fixpoint map
+    (terminals absent from it are roots/isolated → their own label)."""
+    import math
+
+    settled = settled_parts[0]
+    for p in settled_parts[1:]:
+        settled = settled.unionByName(p)
+    jumps = math.ceil(math.log2(max(2, len(settled_parts) + 1))) + 1
+    for _ in range(jumps):
+        parent = settled.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
+        settled = (
+            settled.join(parent, settled.dst == F.col("_ps"), "left")
+            .select("src", F.coalesce(F.col("_pd"), F.col("dst")).alias("dst"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        settled.join(
+            active_map.select(F.col("src").alias("_as"), F.col("_root")),
+            settled.dst == F.col("_as"),
+            "left",
+        )
+        .select("src", F.coalesce(F.col("_root"), F.col("dst")).alias("_root"))
+    )
+
+
 def _driver_finish(spark: SparkSession, e: DataFrame) -> DataFrame:
     """Finish a small contracted graph driver-side: one bounded collect
     (the caller has already counted the edge set against
@@ -346,7 +426,7 @@ def connected_components(
     checkpoint_store=None,
     algorithm: str = "star",  # star (contraction, default) | propagation (fixed-iteration oracle)
     validate_vertices: bool = True,
-    skew_threshold: int = 100_000,
+    skew_threshold: int | None = None,
     driver_finish_edges: int = 1_000_000,
     hub_broadcast_limit: int = HUB_BROADCAST_LIMIT,
     vmap: DataFrame | None = None,
@@ -356,7 +436,11 @@ def connected_components(
     callers running several graph ops on one graph (bench, CLI) pay the
     encode jobs once. ``skew_threshold``/``driver_finish_edges``/
     ``hub_broadcast_limit`` tune the star path only (see module doc);
-    setting ``driver_finish_edges=0`` forces fully-distributed rounds."""
+    ``skew_threshold=None`` (default) re-derives the hub cutoff every
+    round as ``SKEW_TASK_RATIO × 2·|E|/nparts`` — relative to the
+    round's rows-per-task, which is the quantity window-buffering
+    actually contends with; setting ``driver_finish_edges=0`` forces
+    fully-distributed rounds."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
@@ -430,6 +514,7 @@ def _run_star(
 
     converged = False
     iter_secs: list[float] = []
+    settled_parts: list[DataFrame] = []
     it = start_iter
 
     def finish_driver(e_small, at_iter):
@@ -443,21 +528,27 @@ def _run_star(
             )
         return out
 
+    def eff_threshold(n_edges: int) -> int:
+        if skew_threshold is not None:
+            return skew_threshold
+        return max(MIN_SKEW_THRESHOLD, int(SKEW_TASK_RATIO * 2 * n_edges / nparts))
+
     if stats[0] <= driver_finish_edges:
         it = start_iter + 1
         e = finish_driver(e, it)
         converged = True
     else:
-        est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], skew_threshold)
+        thr = eff_threshold(stats[0])
+        est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], thr)
         for it in range(start_iter + 1, start_iter + max_iterations + 1):
             t_it = time.time()
-            use_safe = est_maxdeg > skew_threshold
+            use_safe = est_maxdeg > thr
             # no explicit repartition: the trailing distinct already hash-
             # partitions on (src, dst), and next round's groupBys/windows
             # re-key by center anyway
             if use_safe:
                 e2, scratch = _star_round_safe(
-                    e, skew_threshold, spark, salted=est_nhubs > hub_broadcast_limit
+                    e, thr, spark, salted=est_nhubs > hub_broadcast_limit
                 )
             else:
                 e2, scratch = _small_star(_large_star(e)), []
@@ -466,6 +557,11 @@ def _run_star(
             for s in scratch:
                 s.unpersist()
             iter_secs.append(round(time.time() - t_it, 3))
+            logger.info(
+                "star round %d: %s path, edges %d -> %d, est_maxdeg %d, thr %d, %.1fs",
+                it, "safe" if use_safe else "window", stats[0], stats2[0],
+                est_maxdeg, thr, iter_secs[-1],
+            )
             if stats2 == stats and e2.exceptAll(e).count() == 0:
                 # fingerprint matched AND exact set equality confirmed
                 e = e2
@@ -476,16 +572,40 @@ def _run_star(
                         metrics={"algorithm": "star", "n_edges": stats2[0], "converged": True},
                     )
                 break
+            stalled = stats2[0] > PEEL_STALL_RATIO * stats[0]
             e, stats = e2, stats2
             if stats[0] <= driver_finish_edges:
                 it += 1
                 e = finish_driver(e, it)
                 converged = True
                 break
-            est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], skew_threshold)
+            if stalled:
+                # stalled contraction: settle degree-1 star children into
+                # the resolution forest; next rounds scan only the still-
+                # active remainder (see _peel_leaves for soundness)
+                tagged = _peel_leaves(e).localCheckpoint(eager=False)
+                e = tagged.filter(~F.col("_settle")).select("src", "dst")
+                stats = _edge_stats(e)  # materializes tagged
+                settled_parts.append(tagged.filter(F.col("_settle")).select("src", "dst"))
+                logger.info(
+                    "star round %d: peeled %d leaf edges, %d active remain",
+                    it, stats2[0] - stats[0], stats[0],
+                )
+                if stats[0] <= driver_finish_edges:
+                    it += 1
+                    e = finish_driver(e, it)
+                    converged = True
+                    break
+            thr = eff_threshold(stats[0])
+            est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], thr)
             if checkpoint_store is not None:
+                # resume state must be self-contained: active ∪ settled
+                # (a resumed run simply re-contracts the settled edges)
+                st = e
+                for p in settled_parts:
+                    st = st.unionByName(p)
                 checkpoint_store.write_iteration(
-                    _decode_edges(e, vmap), iteration=it,
+                    _decode_edges(st, vmap), iteration=it,
                     metrics={
                         "algorithm": "star", "n_edges": stats2[0], "converged": False,
                         "path": "safe" if use_safe else "window",
@@ -493,9 +613,12 @@ def _run_star(
                 )
 
     # fixed point = stars (child → component-min root); roots/isolated keep self
+    active_map = e.groupBy("src").agg(F.min("dst").alias("_root"))
+    if settled_parts:
+        active_map = active_map.unionByName(_resolve_settled(settled_parts, active_map))
     labels = (
         vmap.select("vid")
-        .join(e.groupBy("src").agg(F.min("dst").alias("_root")), vmap.vid == F.col("src"), "left")
+        .join(active_map, vmap.vid == F.col("src"), "left")
         .select("vid", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
     )
     return _decode(labels, vmap), it, converged, iter_secs

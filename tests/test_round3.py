@@ -209,6 +209,88 @@ def test_driver_finish_mid_run_threshold(spark, tmp_path):
     assert mid.iterations > 1  # …but only after at least one real round
 
 
+# --- stalled-contraction leaf peeling ----------------------------------------
+
+
+def test_peel_every_round_labels_exact(spark, monkeypatch):
+    """PEEL_STALL_RATIO=0 forces a peel after EVERY non-converged round —
+    the maximal-stress schedule for the settled forest (multi-peel chains:
+    a vertex settled in peel k can point at a parent settled in peel k+j,
+    exercising the pointer-jumping resolution). Fully-distributed rounds
+    (driver_finish_edges=0) so resolution, not the driver union-find, is
+    what's under test. Labels must match networkx exactly."""
+    import pagerank_project_spark.operators.components as C
+
+    monkeypatch.setattr(C, "PEEL_STALL_RATIO", 0.0)
+    rng = random.Random(57)
+    # long path (endpoints peel every round, chains build) + giant star with
+    # appendage paths (star children peel en masse) + random blob + isolated
+    nodes = [f"n{i:04d}" for i in range(300)]
+    rows = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(120)]
+    rows += [("hub", f"s{i:04d}") for i in range(200)]
+    rows += [(f"s{i:04d}", f"t{i:04d}") for i in range(0, 200, 7)]
+    rows += list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)})
+    rows = [(s, t) for s, t in rows if s != t]
+    verts = spark.createDataFrame(
+        [(v,) for v in sorted({x for r in rows for x in r} | {"iso_a", "iso_b"})], "id string"
+    )
+    exp = _nx_labels([r["id"] for r in verts.collect()], rows)
+
+    res = connected_components(spark, edges_df(spark, rows), vertices=verts, driver_finish_edges=0)
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert got == exp
+    assert res.converged
+
+
+def test_peel_shrinks_stalled_active_set_and_finishes_early(spark):
+    """The measured stall fixture: a giant star forms in ~2 rounds, after
+    which the default contraction would rescan the settled children every
+    round. With default PEEL_STALL_RATIO the peel must strip the settled
+    star children so the active remainder falls under driver_finish_edges
+    and the run ends in far fewer rounds — with exact labels."""
+    n_children = 30_000
+    e = spark.range(n_children).select(
+        F.format_string("c%06d", "id").alias("src"), F.lit("a_root").alias("dst")
+    )
+    # appendages keep a trickle of active edges so contraction "stalls"
+    # (edge count barely moves) instead of converging instantly
+    app = spark.range(0, n_children, 100).select(
+        F.format_string("x%06d", "id").alias("src"), F.format_string("c%06d", "id").alias("dst")
+    )
+    e = e.unionByName(app)
+    res = connected_components(spark, e, driver_finish_edges=2000)
+    assert res.converged
+    assert res.iterations <= 5  # star forms + peel collapses + driver finish
+    labels = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert set(labels.values()) == {"a_root"}
+    assert len(labels) == n_children + n_children // 100 + 1
+
+
+def test_peel_with_checkpoint_resume(spark, tmp_path, monkeypatch):
+    """Checkpoint state written after a peel is self-contained (active ∪
+    settled): resuming from iteration k reproduces the uninterrupted run's
+    labels exactly even though the resumed run re-derives its own forest."""
+    import pagerank_project_spark.operators.components as C
+    from pagerank_project_spark.plans.checkpoint import CheckpointStore
+
+    monkeypatch.setattr(C, "PEEL_STALL_RATIO", 0.0)
+    rng = random.Random(71)
+    rows = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(80)]
+    rows += list({(f"v{rng.randrange(150):03d}", f"v{rng.randrange(150):03d}") for _ in range(200)})
+    rows = [(s, t) for s, t in rows if s != t]
+    e = edges_df(spark, rows)
+
+    full = connected_components(spark, e, driver_finish_edges=0)
+    a = {r["id"]: r["component"] for r in full.labels.collect()}
+
+    store = CheckpointStore(str(tmp_path), "cc_peel")
+    connected_components(spark, e, max_iterations=2, driver_finish_edges=0, checkpoint_store=store)
+    assert not store.metrics()[store.latest_iteration()].get("converged")
+    res = connected_components(spark, e, driver_finish_edges=0, checkpoint_store=store)
+    b = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert a == b == _nx_labels(sorted({x for r in rows for x in r}), rows)
+
+
 # --- synonym-table guard -----------------------------------------------------
 
 

@@ -250,6 +250,21 @@ superstep: `max(job_floor, edges/scan_bw + |V|/shuffle_bw)`; edges are
 hash co-partitioned once and never reshuffled, only the |V|-sized rank
 vector moves, and the scatter is map-side combined.
 
+Round-3 changes aimed at the CC whole-run number (0.67 in round 2):
+(a) DRIVER-FINISH TAIL — once the contracted edge set falls under 1M
+edges the remaining O(log) rounds (each a full scheduling barrier to
+process <2% of the edges — the measured ~12 s/round floor at 4×4 that
+capped round 2's whole run) are replaced by ONE bounded collect + a
+driver-side union-find emitting exactly the star fixed point; labels are
+pinned identical to a fully-distributed run by test. (b) PER-ROUND
+SKEW-HYBRID — star rounds consult a sampled max-degree estimate: low-skew
+rounds keep the window-aggregate physicalization (1.64× faster), skewed
+rounds switch to a map-side-combined groupBy-min with hub keys routed
+through a broadcast (or salted) join, so no task ever buffers a hub's
+whole neighbor multiset ("curse of the last reducer" — and star
+contraction CREATES a degree-|C| hub per component by design, so this
+path is what a converged web-scale run actually exercises).
+
 Raw JSON: BENCH/scaling.json, BENCH/local8.json, BENCH/local32.json.
 """)
     with open("/root/repo/BENCH/scaling.json", "w") as f:
