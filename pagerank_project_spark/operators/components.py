@@ -201,7 +201,7 @@ def _join_mins(rows: DataFrame, mins: DataFrame, hub_threshold: int, spark, salt
         F.col("src").alias("_hk"), F.col("mv").alias("_hmv")
     )
     rest = mins.filter(F.col("deg") <= hub_threshold).select(
-        F.col("src").alias("_rk"), F.col("mv").alias("mv")
+        F.lit(False).alias("_rd"), F.col("src").alias("_rk"), F.col("mv").alias("mv")
     )
     if salted:
         salts = spark.range(HUB_SALTS).select(F.col("id").cast("int").alias("_hsalt"))
@@ -216,16 +216,24 @@ def _join_mins(rows: DataFrame, mins: DataFrame, hub_threshold: int, spark, salt
         ).drop("_hk", "_hsalt", "_salt")
     else:
         j = rows.join(F.broadcast(hub), F.col("src") == F.col("_hk"), "left").drop("_hk")
-    done = j.filter(F.col("_hmv").isNotNull()).select(
-        "src", "dst", F.col("_hmv").alias("mv")
+    # SINGLE-pass residual resolution: a done/todo filter split would put
+    # the scan + broadcast join into the plan twice (no subtree reuse
+    # across a DataFrame union), doubling the round's heaviest stage.
+    # Instead every row takes ONE shuffle join against `rest`, with
+    # already-resolved hub rows given a (_jd=true, salt) join key: the
+    # boolean leg can never equal rest's literal false (collision with
+    # real ids is impossible, unlike any string-sentinel scheme) and the
+    # salt leg spreads the hub's rows evenly across partitions instead of
+    # re-skewing the exchange on the hub key.
+    jd = F.col("_hmv").isNotNull()
+    jk = F.when(
+        jd, F.pmod(F.xxhash64("src", "dst"), F.lit(1024)).cast("string")
+    ).otherwise(F.col("src"))
+    return (
+        j.withColumns({"_jd": jd, "_jk": jk})
+        .join(rest, (F.col("_jd") == F.col("_rd")) & (F.col("_jk") == F.col("_rk")), "left")
+        .select("src", "dst", F.coalesce(F.col("_hmv"), F.col("mv")).alias("mv"))
     )
-    todo = (
-        j.filter(F.col("_hmv").isNull())
-        .drop("_hmv")
-        .join(rest, F.col("src") == F.col("_rk"))
-        .select("src", "dst", "mv")
-    )
-    return done.unionByName(todo)
 
 
 def _large_star_safe(e: DataFrame, hub_threshold: int, spark, salted: bool = False):
@@ -268,15 +276,34 @@ def _small_star_safe(e: DataFrame, hub_threshold: int, spark, salted: bool = Fal
     return emit_v.unionByName(emit_u).distinct(), mins
 
 
-def _star_round_safe(e: DataFrame, skew_threshold: int, spark, salted: bool):
-    """One hub-skew-safe contraction round. The large-star output feeds two
-    consumers in small-star (its mins groupBy and the join-back), so it is
-    persisted for the round rather than recomputed. Returns
-    (e2, scratch_to_unpersist)."""
-    ls, mins1 = _large_star_safe(e, skew_threshold, spark, salted)
-    ls = ls.persist()
-    e2, mins2 = _small_star_safe(ls, skew_threshold, spark, salted)
-    return e2, [mins1, ls, mins2]
+def _star_round(
+    e: DataFrame,
+    skew_threshold: int,
+    spark,
+    safe_large: bool,
+    safe_small: bool,
+    salted: bool,
+):
+    """One contraction round with the physical path chosen PER STAR OP
+    (window = 1 exchange, fastest; safe = groupBy-min + hub-broadcast
+    join-back, no per-task hub buffering). The large-star output is
+    persisted only when safe-small consumes it twice (mins groupBy + the
+    join-back); the windowed small-star is a single consumer and keeps
+    the round fully pipelined. Returns (e2, scratch_to_unpersist)."""
+    scratch: list[DataFrame] = []
+    if safe_large:
+        ls, mins1 = _large_star_safe(e, skew_threshold, spark, salted)
+        scratch.append(mins1)
+    else:
+        ls = _large_star(e)
+    if safe_small:
+        ls = ls.persist()
+        scratch.append(ls)
+        e2, mins2 = _small_star_safe(ls, skew_threshold, spark, salted)
+        scratch.append(mins2)
+    else:
+        e2 = _small_star(ls)
+    return e2, scratch
 
 
 def _edge_stats(e: DataFrame) -> tuple[int, object]:
@@ -289,31 +316,56 @@ def _edge_stats(e: DataFrame) -> tuple[int, object]:
     return row["n"], row["chk"]
 
 
-def _skew_estimate(e: DataFrame, n_edges: int, skew_threshold: int) -> tuple[int, int]:
-    """(est_max_symmetric_degree, est_hub_count) from a bounded edge sample
-    (exact when the graph is small). One cheap job over the cached edge
-    set; drives the window-vs-safe round choice and the broadcast-vs-salt
-    hub-join choice. A hub of degree D survives a 1/p_inv edge sample with
-    expected D/p_inv incident rows, so at the default threshold (1e5) and
-    sample target (2e6 edges) the estimate is within a few percent; a miss
-    only costs round speed, never correctness."""
+def _skew_estimate(e: DataFrame, n_edges: int, skew_threshold: int) -> tuple[int, int, int]:
+    """(est_max_symmetric_degree, est_hub_count, est_max_center_degree)
+    from a bounded edge sample (exact when the graph is small). One cheap
+    job over the cached edge set; drives the window-vs-safe choice PER
+    STAR OP and the broadcast-vs-salt hub-join choice.
+
+    The two ops contend with DIFFERENT degrees: large-star windows over
+    the symmetrized view (a giant component's root — the min — carries
+    its whole membership there), small-star windows over the max→min
+    orientation where centers are the *larger* endpoints, so a star's
+    root is never a center and its children have tiny degrees. Estimating
+    them separately lets the common post-star-formation shape run
+    safe-large + windowed-small instead of paying the safe path twice.
+
+    A hub of degree D survives a 1/p_inv edge sample with expected
+    D/p_inv incident rows, so at the default sample target (2e6 edges)
+    the estimate is within a few percent; a miss only costs round speed,
+    never correctness."""
     p_inv = max(1, int(n_edges // DEGREE_SAMPLE_TARGET))
     samp = (
         e
         if p_inv == 1
         else e.filter(F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(p_inv)) == 0)
     )
-    kv = samp.select(F.explode(F.array("src", "dst")).alias("k"))
+    kv = samp.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("s").alias("t"), F.col("src").alias("k")),
+                F.struct(F.lit("s").alias("t"), F.col("dst").alias("k")),
+                F.struct(F.lit("g").alias("t"), F.greatest("src", "dst").alias("k")),
+            )
+        ).alias("p")
+    ).select("p.t", "p.k")
     row = (
-        kv.groupBy("k")
+        kv.groupBy("t", "k")
         .agg(F.count("*").alias("c"))
         .agg(
-            F.max("c").alias("m"),
-            F.count(F.when(F.col("c") * p_inv > skew_threshold, 1)).alias("nh"),
+            F.max(F.when(F.col("t") == "s", F.col("c"))).alias("m"),
+            F.count(
+                F.when((F.col("t") == "s") & (F.col("c") * p_inv > skew_threshold), 1)
+            ).alias("nh"),
+            F.max(F.when(F.col("t") == "g", F.col("c"))).alias("mg"),
         )
         .first()
     )
-    return int(row["m"] or 0) * p_inv, int(row["nh"] or 0)
+    return (
+        int(row["m"] or 0) * p_inv,
+        int(row["nh"] or 0),
+        int(row["mg"] or 0) * p_inv,
+    )
 
 
 def _peel_leaves(e: DataFrame) -> DataFrame:
@@ -353,7 +405,12 @@ def _resolve_settled(settled_parts: list[DataFrame], active_map: DataFrame) -> D
     settled = settled_parts[0]
     for p in settled_parts[1:]:
         settled = settled.unionByName(p)
-    jumps = math.ceil(math.log2(max(2, len(settled_parts) + 1))) + 1
+    # A settled src's parent can only be a src settled in a STRICTLY later
+    # peel (within one peel a settled src's dst never has occurrence count
+    # 1 in the src slot), so chains span at most len(parts) links and each
+    # jump iteration doubles the resolved distance: ceil(log2(p)) jumps,
+    # i.e. ZERO self-joins for the common single-peel run.
+    jumps = math.ceil(math.log2(max(1, len(settled_parts))))
     for _ in range(jumps):
         parent = settled.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
         settled = (
@@ -539,28 +596,28 @@ def _run_star(
         converged = True
     else:
         thr = eff_threshold(stats[0])
-        est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], thr)
+        est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
+        no_peel_above = 2**63  # peel backoff: set after an ineffective peel
         for it in range(start_iter + 1, start_iter + max_iterations + 1):
             t_it = time.time()
-            use_safe = est_maxdeg > thr
+            safe_large = est_sym > thr
+            safe_small = est_big > thr
             # no explicit repartition: the trailing distinct already hash-
             # partitions on (src, dst), and next round's groupBys/windows
             # re-key by center anyway
-            if use_safe:
-                e2, scratch = _star_round_safe(
-                    e, thr, spark, salted=est_nhubs > hub_broadcast_limit
-                )
-            else:
-                e2, scratch = _small_star(_large_star(e)), []
+            e2, scratch = _star_round(
+                e, thr, spark, safe_large, safe_small,
+                salted=est_nhubs > hub_broadcast_limit,
+            )
             e2 = e2.localCheckpoint(eager=False)
             stats2 = _edge_stats(e2)  # the ONE materializing action per round
             for s in scratch:
                 s.unpersist()
             iter_secs.append(round(time.time() - t_it, 3))
             logger.info(
-                "star round %d: %s path, edges %d -> %d, est_maxdeg %d, thr %d, %.1fs",
-                it, "safe" if use_safe else "window", stats[0], stats2[0],
-                est_maxdeg, thr, iter_secs[-1],
+                "star round %d: large=%s small=%s, edges %d -> %d, est %d/%d, thr %d, %.1fs",
+                it, "safe" if safe_large else "window", "safe" if safe_small else "window",
+                stats[0], stats2[0], est_sym, est_big, thr, iter_secs[-1],
             )
             if stats2 == stats and e2.exceptAll(e).count() == 0:
                 # fingerprint matched AND exact set equality confirmed
@@ -579,25 +636,36 @@ def _run_star(
                 e = finish_driver(e, it)
                 converged = True
                 break
-            if stalled:
-                # stalled contraction: settle degree-1 star children into
-                # the resolution forest; next rounds scan only the still-
-                # active remainder (see _peel_leaves for soundness)
+            thr = eff_threshold(stats[0])
+            est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
+            # Peel when contraction stalls OR the next round would be
+            # hub-skewed: stars create a degree-|C| hub whose children are
+            # exactly the leaves, so peeling removes the hub's mass
+            # entirely (cheaper than any skew-safe physicalization of it).
+            # Backoff: an ineffective peel (<5% removed — skew without
+            # leaves, i.e. mid-contraction hubs) disables peeling until
+            # the active set has halved from where it failed.
+            if stats[0] < no_peel_above and (
+                stalled or est_sym > thr or est_big > thr
+            ):
+                pre = stats[0]
                 tagged = _peel_leaves(e).localCheckpoint(eager=False)
                 e = tagged.filter(~F.col("_settle")).select("src", "dst")
                 stats = _edge_stats(e)  # materializes tagged
                 settled_parts.append(tagged.filter(F.col("_settle")).select("src", "dst"))
                 logger.info(
                     "star round %d: peeled %d leaf edges, %d active remain",
-                    it, stats2[0] - stats[0], stats[0],
+                    it, pre - stats[0], stats[0],
                 )
+                if pre - stats[0] < 0.05 * pre:
+                    no_peel_above = pre // 2
                 if stats[0] <= driver_finish_edges:
                     it += 1
                     e = finish_driver(e, it)
                     converged = True
                     break
-            thr = eff_threshold(stats[0])
-            est_maxdeg, est_nhubs = _skew_estimate(e, stats[0], thr)
+                thr = eff_threshold(stats[0])
+                est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
             if checkpoint_store is not None:
                 # resume state must be self-contained: active ∪ settled
                 # (a resumed run simply re-contracts the settled edges)
@@ -608,7 +676,7 @@ def _run_star(
                     _decode_edges(st, vmap), iteration=it,
                     metrics={
                         "algorithm": "star", "n_edges": stats2[0], "converged": False,
-                        "path": "safe" if use_safe else "window",
+                        "path": "safe" if (safe_large or safe_small) else "window",
                     },
                 )
 

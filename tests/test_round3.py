@@ -160,9 +160,32 @@ def test_safe_path_bounds_shuffled_rows_per_task(spark):
 def test_skew_estimate_exact_at_small_scale(spark):
     e = _hub_graph(spark, 5000)
     n = e.count()
-    est_max, est_hubs = _skew_estimate(e, n, skew_threshold=1000)
+    est_max, est_hubs, est_big = _skew_estimate(e, n, skew_threshold=1000)
     assert est_max == 5000  # exact: sample rate 1 below the target
     assert est_hubs == 1
+    # oriented (max-side) degree: "hub0" < "leaf*" lexicographically, so each
+    # edge's greatest side is a distinct leaf — the hub is NOT a small-star
+    # hub (the blob's repeated max-side keys give a count of 2)
+    assert est_big <= 4
+
+
+def test_skew_estimate_separates_sym_and_oriented(spark):
+    """A star whose root sorts ABOVE its children is a max-side (small-star)
+    hub; one whose root sorts BELOW is only a symmetric (large-star) hub —
+    the per-op estimates must tell them apart."""
+    root_high = spark.range(400).select(
+        F.lit("zzz_root").alias("src"), F.format_string("a%04d", "id").alias("dst")
+    )
+    n = root_high.count()
+    sym, _, big = _skew_estimate(root_high, n, skew_threshold=100)
+    assert sym == 400 and big == 400  # root is greatest side of every edge
+
+    root_low = spark.range(400).select(
+        F.lit("aaa_root").alias("src"), F.format_string("z%04d", "id").alias("dst")
+    )
+    sym2, _, big2 = _skew_estimate(root_low, n, skew_threshold=100)
+    assert sym2 == 400
+    assert big2 == 1  # every edge's greatest side is a distinct child
 
 
 # --- driver-side tail finish -------------------------------------------------

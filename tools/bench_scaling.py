@@ -81,7 +81,12 @@ if op in ("relational", "csr"):
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op == "cc":
     from pagerank_project_spark.operators.components import connected_components
-    res = connected_components(spark, edges, vertices=verts)
+    # fixed skew threshold so BOTH parallelism legs take the identical
+    # window/safe/peel schedule (the dynamic rows-per-task default would
+    # pick different physical paths at 1x4 vs 4x4, which is the right
+    # production behavior but makes the N-vs-4N ratio compare two
+    # different plans)
+    res = connected_components(spark, edges, vertices=verts, skew_threshold=4_000_000)
     n_comp = res.labels.select("component").distinct().count()
     dt = time.time() - t0
     steady = sorted(res.iter_secs[1:]) or res.iter_secs  # round 1 = codegen warmup
