@@ -109,13 +109,13 @@ def main() -> None:
     extra["pagerank_csr_edges_per_sec_per_superstep"] = steady_eps(res_csr)
 
     # --- CC / LPA / triangles ---------------------------------------------
-    # one string-sorted vid encode shared by CC and LPA (same vertex set):
-    # the encode's range-exchange + sample jobs are paid once, not per op
+    # LPA needs the string-sorted encode (oracle-exact tie-breaks); star CC
+    # takes its zero-shuffle hash-vid path, so the vmap is NOT passed there
     from pagerank_project_spark.operators.vids import string_sorted_vids
 
     vmap = string_sorted_vids(verts, "id", cpus)  # persisted+materialized inside
     with timed("connected_components"):
-        cc = connected_components(spark, edges, vertices=verts, vmap=vmap)
+        cc = connected_components(spark, edges, vertices=verts)
         cc.labels.groupBy("component").count().count()
     extra["cc_iterations"] = cc.iterations
     with timed("label_propagation_4it"):

@@ -52,11 +52,14 @@ Two algorithms over the same substrate:
     spreads each hub's rows over 32 tasks.
 
   Tail: once the contracted edge set falls under ``driver_finish_edges``
-  the remaining O(log) rounds would each pay a full scheduling barrier
-  to process <2% of the original edges. The loop instead collects the
-  (bounded, counted — never unbounded) edge set and finishes with a
-  driver-side union-find in one step, emitting exactly the star fixed
-  point the distributed rounds would converge to: {(v, min(C)) : v ∈ C,
+  (default 4M edges = a 64 MB bounded collect — the bound that matters
+  is BYTES on the driver, not a fraction of the input; at web scale 4M
+  contracted edges is noise) the remaining O(log) rounds would each pay
+  a full scheduling barrier to process a sliver of the original edges.
+  The loop instead collects the (bounded, counted — never unbounded)
+  edge set and finishes with a driver-side vectorized numpy min-label
+  pass in one step, emitting exactly the star fixed point
+  the distributed rounds would converge to: {(v, min(C)) : v ∈ C,
   v ≠ min(C)}. Support is preserved round-to-round (every endpoint of
   the input edge set reappears in the output — see ``_driver_finish``),
   so labels are identical to a full-Spark run.
@@ -67,14 +70,27 @@ Two algorithms over the same substrate:
   changed-count needs no join. Exactly k supersteps of min-label
   propagation ≡ the unrolled SQL oracle (cc_iter5), because…
 
-…vertex ids are dictionary-encoded ONCE to dense longs in STRING-SORTED
-order (operators/vids.string_sorted_vids — range exchange + parallel
-per-partition sort; no global single-task sort). min over vids is then
-EXACTLY min over string ids at every intermediate superstep, so
-fixed-iteration results and mid-run checkpoints match a string-space
-oracle on ANY graph — not only those that converge within the budget.
-The loop itself shuffles only 8-byte keys/labels (strings measured 2×
-slower).
+…vertex ids are dictionary-encoded ONCE to longs; the loop shuffles only
+8-byte keys/labels (strings measured 2× slower). The ENCODING is
+per-algorithm, because the two modes make different promises about
+intermediate state:
+
+- ``propagation`` (and any caller-supplied ``vmap``): dense STRING-SORTED
+  vids (operators/vids.string_sorted_vids — range exchange + parallel
+  per-partition sort; no global single-task sort). min over vids is then
+  EXACTLY min over string ids at every intermediate superstep, so
+  fixed-iteration results and mid-run checkpoints match a string-space
+  oracle on ANY graph — not only those that converge within the budget.
+- ``star`` runs to the FIXED POINT, where only the component PARTITION
+  matters — the root in vid space is renamed to the component's min
+  string id by one trailing groupBy(root).min(id) + join. Intermediate
+  vid order is therefore free, and the encode is inline
+  ``xxhash64(id)``: ZERO setup shuffles (no vmap sort, no encode joins —
+  at sf16 those were ~80% of the measured setup wall), guarded by a
+  one-job collision check over the vertex universe that falls back to
+  the string-sorted encode on a collision (birthday bound ~1e-5 at 16M
+  vertices, ~0.05 at 1B — the fallback is not theoretical at web scale,
+  which is why it stays a tested path).
 
 Checkpoint state is algorithm-specific (labels for propagation, the
 contracted edge set for star); a store written by one algorithm refuses
@@ -128,6 +144,11 @@ class ComponentsResult:
     iterations: int
     converged: bool
     iter_secs: list[float] | None = None  # wall per round (first carries codegen warmup)
+    # star mode: wall per phase outside the rounds — "setup" (encode +
+    # canonical distinct + first materialization), "estimate" (summed
+    # per-round skew sampling), "peel" (summed leaf peels). Diagnosing
+    # scaling needs the split; iter_secs alone under-counts the run.
+    phase_secs: dict | None = None
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
@@ -432,7 +453,7 @@ def _driver_finish(spark: SparkSession, e: DataFrame) -> DataFrame:
     """Finish a small contracted graph driver-side: one bounded collect
     (the caller has already counted the edge set against
     ``driver_finish_edges`` — this is never an unbounded collect) + a
-    union-find, returning the star fixed point {(v, min(C))} the
+    vectorized numpy min-label pass, returning the star fixed point {(v, min(C))} the
     distributed rounds would converge to.
 
     Correctness rests on star contraction preserving the non-isolated
@@ -442,35 +463,45 @@ def _driver_finish(spark: SparkSession, e: DataFrame) -> DataFrame:
     every center u is re-emitted via (u, m) and every neighbor v via
     (v, m) or as m itself. Hence the collected support equals the final
     support, and per-component min over it equals the component min."""
-    pdf = e.select("src", "dst").toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    srcs = pdf["src"].to_numpy()
-    dsts = pdf["dst"].to_numpy()
-    for s, d in zip(srcs, dsts):
-        rs, rd = find(int(s)), find(int(d))
-        if rs != rd:
-            # union-by-min keeps every root = min vid seen in its tree,
-            # so the final find() IS the component minimum
-            if rs < rd:
-                parent[rd] = rs
-            else:
-                parent[rs] = rd
-    support = set(map(int, srcs)) | set(map(int, dsts))
-    stars = [(v, find(v)) for v in sorted(support) if find(v) != v]
-    if not stars:
-        return spark.createDataFrame([], "src long, dst long")
+    import numpy as np
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame(stars, columns=["src", "dst"]))
+    pdf = e.select("src", "dst").toPandas()
+    srcs = pdf["src"].to_numpy()
+    dsts = pdf["dst"].to_numpy()
+    # Vectorized union-by-min over compact indexes (no Python per-edge
+    # loop — a dict union-find is minutes at the 4M-edge default cutoff;
+    # this is seconds). np.unique sorts ascending, so compact index order
+    # ≡ vid order and min-index ≡ min-vid. Each sweep: per-edge min is
+    # scattered into the endpoints' current ROOTS (lbl[root] := min of
+    # the two roots — updating the endpoints instead would sever a
+    # root's remaining tree, the classic hash-to-min pitfall) →
+    # pointer-jump labels to idempotence → drop settled edges (roots
+    # equal). Labels only ever carry component-internal indexes, the
+    # component min m keeps lbl[m]=m, and at the fixpoint every
+    # component is uniformly labeled — hence labeled m. O(log n) sweeps
+    # (each jump halves chain depth), edge set shrinks geometrically.
+    nodes, idx = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+    m = len(srcs)
+    si, di = idx[:m], idx[m:]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while len(si):
+        ru, rv = lbl[si], lbl[di]
+        lo = np.minimum(ru, rv)
+        np.minimum.at(lbl, ru, lo)
+        np.minimum.at(lbl, rv, lo)
+        while True:
+            nl = lbl[lbl]
+            if np.array_equal(nl, lbl):
+                break
+            lbl = nl
+        live = lbl[si] != lbl[di]
+        si, di = si[live], di[live]
+    roots = nodes[lbl]
+    mask = roots != nodes
+    if not mask.any():
+        return spark.createDataFrame([], "src long, dst long")
+    return spark.createDataFrame(pd.DataFrame({"src": nodes[mask], "dst": roots[mask]}))
 
 
 def connected_components(
@@ -484,7 +515,7 @@ def connected_components(
     algorithm: str = "star",  # star (contraction, default) | propagation (fixed-iteration oracle)
     validate_vertices: bool = True,
     skew_threshold: int | None = None,
-    driver_finish_edges: int = 1_000_000,
+    driver_finish_edges: int = 4_000_000,
     hub_broadcast_limit: int = HUB_BROADCAST_LIMIT,
     vmap: DataFrame | None = None,
 ) -> ComponentsResult:
@@ -503,23 +534,81 @@ def connected_components(
 
     if algorithm not in ("star", "propagation"):
         raise ValueError(f"unknown algorithm {algorithm!r}; one of ['star', 'propagation']")
+    import time as _time
+
+    phases: dict = {}
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
-    if vertices is not None and validate_vertices:
-        assert_endpoints_covered(edges, verts)
+    do_validate = vertices is not None and validate_vertices
 
-    # string-sorted dense vids: min-vid ≡ min-string at every superstep
-    if vmap is None:
-        vmap = string_sorted_vids(verts, "id", nparts)
-    und_str = undirected_edges(edges)
-    und = (
-        und_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
-        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
-        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
-        .repartition(nparts, "src")
+    # Encode (see module doc): star mode hashes inline (zero setup
+    # shuffles) unless the collision check fails or the caller supplied a
+    # vmap; propagation needs order-preserving string-sorted vids.
+    t_ph = _time.time()
+    order_preserving = True
+    if algorithm == "star" and vmap is None:
+        chk = verts.agg(
+            F.count("*").alias("n"), F.count_distinct(F.xxhash64("id")).alias("nv")
+        ).first()
+        if chk["nv"] == chk["n"]:
+            order_preserving = False
+            vmap = verts.select("id", F.xxhash64("id").alias("vid"))
+            enc = edges.select(
+                F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+            )
+    if order_preserving:
+        if do_validate:
+            # the encode joins below are INNER — missing endpoints would
+            # silently drop edges, so guard before encoding
+            t_v = _time.time()
+            assert_endpoints_covered(edges, verts)
+            phases["validate"] = round(_time.time() - t_v, 3)
+        if vmap is None:
+            vmap = string_sorted_vids(verts, "id", nparts)
+        enc = (
+            edges.select("src", "dst")
+            .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+            .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+            .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+        )
+    phases["encode"] = round(_time.time() - t_ph, 3)
+    # ONE setup shuffle: canonical (max→min) orientation dedup'd on LONG
+    # pairs (the old string-pair symmetrize+distinct shuffled 2× the rows
+    # at ~5× the bytes). The symmetric view propagation needs is derived
+    # from this — canon is distinct and self-loop-free, so canon ∪
+    # reverse(canon) IS the symmetric distinct edge set, no second dedup.
+    canon = (
+        enc.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .persist()
     )
-    und.count()
+    t_ph = _time.time()
+    stats0 = _edge_stats(canon)  # materializes the cache (and the first fingerprint)
+    phases["setup_materialize"] = round(_time.time() - t_ph, 3)
+    if do_validate and not order_preserving:
+        # hash path never drops edges at encode (no join), but endpoints
+        # absent from `vertices` would be silently MISSING from the label
+        # output (labels are built off the vertex table). Checked on LONG
+        # keys over the already-cached canon — ~5× cheaper than the string
+        # anti-join (residual risk: a missing endpoint whose hash collides
+        # with a present vertex id escapes, ~1e-12 at 16M vertices; the
+        # collision check above covers verts internally, not edge strings).
+        t_ph = _time.time()
+        missing = (
+            canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+            .distinct()
+            .join(vmap.select("vid"), "vid", "left_anti")
+            .count()
+        )
+        if missing:
+            canon.unpersist()
+            raise ValueError(
+                f"{missing} edge endpoint(s) are not in the supplied vertices table; "
+                "pass vertices=None to derive the universe from the edges, or fix the "
+                "table (validate_vertices=False skips this check)"
+            )
+        phases["validate"] = round(_time.time() - t_ph, 3)
 
     stored_algo = None
     start_iter = 0
@@ -536,38 +625,49 @@ def connected_components(
     try:
         if algorithm == "star":
             labels, it, converged, iter_secs = _run_star(
-                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter,
-                skew_threshold, driver_finish_edges, hub_broadcast_limit,
+                spark, canon, stats0, vmap, order_preserving, nparts, max_iterations,
+                checkpoint_store, start_iter,
+                skew_threshold, driver_finish_edges, hub_broadcast_limit, phases,
             )
         else:
             labels, it, converged, iter_secs = _run_propagation(
-                spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter
+                spark, canon, vmap, nparts, max_iterations, checkpoint_store, start_iter, phases
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
-    und.unpersist()
-    return ComponentsResult(labels=labels, iterations=it, converged=converged, iter_secs=iter_secs)
+    canon.unpersist()
+    return ComponentsResult(
+        labels=labels, iterations=it, converged=converged, iter_secs=iter_secs,
+        phase_secs=phases,
+    )
 
 
 def _run_star(
-    spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter,
-    skew_threshold, driver_finish_edges, hub_broadcast_limit,
+    spark, canon, stats0, vmap, order_preserving, nparts, max_iterations,
+    checkpoint_store, start_iter, skew_threshold, driver_finish_edges,
+    hub_broadcast_limit, phases=None,
 ):
     import time
 
+    phases = {} if phases is None else phases
+
     if start_iter:
-        # state = the contracted edge set, stored as string pairs
+        # state = the contracted edge set, stored as string pairs.
+        # Orientation of the re-encoded rows is irrelevant — both star ops
+        # re-canonicalize internally and peeling only engages post-round.
         st = checkpoint_store.read_state(spark, start_iter)
         e = (
             st.join(vmap.select(F.col("id"), F.col("vid").alias("_s")), "id")
             .join(vmap.select(F.col("id").alias("component"), F.col("vid").alias("_t")), "component")
             .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+            .repartition(nparts, "src")
+            .localCheckpoint(eager=False)
         )
+        stats = _edge_stats(e)  # materializes the resumed state
     else:
-        e = und.filter(F.col("src") > F.col("dst"))  # canonical max→min orientation
-    e = e.repartition(nparts, "src").localCheckpoint(eager=False)
-    stats = _edge_stats(e)  # materializes the initial state
+        e = canon  # persisted + materialized by the caller
+        stats = stats0
 
     converged = False
     iter_secs: list[float] = []
@@ -595,8 +695,14 @@ def _run_star(
         e = finish_driver(e, it)
         converged = True
     else:
+        def timed_est(e_, n_, thr_):
+            t = time.time()
+            r = _skew_estimate(e_, n_, thr_)
+            phases["estimate"] = round(phases.get("estimate", 0.0) + time.time() - t, 3)
+            return r
+
         thr = eff_threshold(stats[0])
-        est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
+        est_sym, est_nhubs, est_big = timed_est(e, stats[0], thr)
         no_peel_above = 2**63  # peel backoff: set after an ineffective peel
         for it in range(start_iter + 1, start_iter + max_iterations + 1):
             t_it = time.time()
@@ -637,7 +743,7 @@ def _run_star(
                 converged = True
                 break
             thr = eff_threshold(stats[0])
-            est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
+            est_sym, est_nhubs, est_big = timed_est(e, stats[0], thr)
             # Peel when contraction stalls OR the next round would be
             # hub-skewed: stars create a degree-|C| hub whose children are
             # exactly the leaves, so peeling removes the hub's mass
@@ -648,11 +754,13 @@ def _run_star(
             if stats[0] < no_peel_above and (
                 stalled or est_sym > thr or est_big > thr
             ):
+                t_peel = time.time()
                 pre = stats[0]
                 tagged = _peel_leaves(e).localCheckpoint(eager=False)
                 e = tagged.filter(~F.col("_settle")).select("src", "dst")
                 stats = _edge_stats(e)  # materializes tagged
                 settled_parts.append(tagged.filter(F.col("_settle")).select("src", "dst"))
+                phases["peel"] = round(phases.get("peel", 0.0) + time.time() - t_peel, 3)
                 logger.info(
                     "star round %d: peeled %d leaf edges, %d active remain",
                     it, pre - stats[0], stats[0],
@@ -665,7 +773,7 @@ def _run_star(
                     converged = True
                     break
                 thr = eff_threshold(stats[0])
-                est_sym, est_nhubs, est_big = _skew_estimate(e, stats[0], thr)
+                est_sym, est_nhubs, est_big = timed_est(e, stats[0], thr)
             if checkpoint_store is not None:
                 # resume state must be self-contained: active ∪ settled
                 # (a resumed run simply re-contracts the settled edges)
@@ -684,15 +792,47 @@ def _run_star(
     active_map = e.groupBy("src").agg(F.min("dst").alias("_root"))
     if settled_parts:
         active_map = active_map.unionByName(_resolve_settled(settled_parts, active_map))
-    labels = (
-        vmap.select("vid")
-        .join(active_map, vmap.vid == F.col("src"), "left")
-        .select("vid", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
+    if order_preserving:
+        labels = (
+            vmap.select("vid")
+            .join(active_map, vmap.vid == F.col("src"), "left")
+            .select("vid", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
+        )
+        return _decode(labels, vmap), it, converged, iter_secs
+    # hash vids: the root is the component's min HASH — rename each
+    # component to its min STRING id with one groupBy + join-back (the
+    # partition into components is encoding-invariant; only labels rename).
+    # lab feeds BOTH the groupBy and the join — localCheckpoint so the
+    # vmap⋈active_map subtree (and the settled resolution under it)
+    # computes once, not twice (no subtree reuse across a self-join).
+    lab = (
+        vmap.join(active_map, vmap.vid == F.col("src"), "left")
+        .select("id", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
+        .localCheckpoint(eager=False)
     )
-    return _decode(labels, vmap), it, converged, iter_secs
+    comp = lab.groupBy("lbl").agg(F.min("id").alias("component"))
+    return (
+        lab.join(comp, "lbl").select("id", "component"),
+        it,
+        converged,
+        iter_secs,
+    )
 
 
-def _run_propagation(spark, und, vmap, nparts, max_iterations, checkpoint_store, start_iter):
+def _run_propagation(spark, canon, vmap, nparts, max_iterations, checkpoint_store, start_iter, phases=None):
+    import time as _time
+
+    phases = {} if phases is None else phases
+    t_ph = _time.time()
+    # symmetric view, pre-partitioned on src so the per-superstep join
+    # reuses this exchange (the edge side never re-shuffles in the loop)
+    und = (
+        canon.unionByName(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(nparts, "src")
+        .persist()
+    )
+    und.count()
+    phases["symmetrize"] = round(_time.time() - t_ph, 3)
     if start_iter:
         st = checkpoint_store.read_state(spark, start_iter)
         labels = (
@@ -739,6 +879,7 @@ def _run_propagation(spark, und, vmap, nparts, max_iterations, checkpoint_store,
         if changed == 0:
             converged = True
             break
+    und.unpersist()  # labels are localCheckpoint-materialized; lineage cut
     return _decode(labels, vmap), it, converged, iter_secs
 
 

@@ -207,6 +207,23 @@ def test_driver_finish_equals_distributed(spark):
     assert tail.converged and tail.iterations == 1  # one driver-finish step
 
 
+def test_driver_finish_numpy_kernel_path_graph(spark):
+    """Direct _driver_finish unit check on the vectorized numpy kernel's
+    worst case — one long path (maximum chain depth for the pointer
+    jumps) plus disjoint cycles and isolated-pair noise."""
+    from pagerank_project_spark.operators.components import _driver_finish
+
+    rows = [(i + 1, i) for i in range(1, 4000)]  # path 1..4000 (canonical max->min)
+    rows += [(9000 + (i + 1) % 50, 9000 + i) for i in range(50)]  # a 50-cycle
+    rows += [(7001, 7000), (7003, 7002)]
+    e = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    got = {(r["src"], r["dst"]) for r in _driver_finish(spark, e).collect()}
+    exp = {(v, 1) for v in range(2, 4001)}
+    exp |= {(9000 + i, 9000) for i in range(1, 50)}
+    exp |= {(7001, 7000), (7003, 7002)}
+    assert got == exp
+
+
 def test_driver_finish_mid_run_threshold(spark, tmp_path):
     """Threshold between initial and contracted size: a couple of real
     rounds run, then the tail is finished driver-side — labels identical
@@ -330,6 +347,19 @@ def test_table_synonyms_over_cap_raises(spark):
     # under budget still works
     t = TableSynonyms(big.limit(40), max_vocab=10)
     assert t.most_similar("w001", 3) == [("n001", 0.5)]
+
+
+def test_cc_hash_path_vertices_guard(spark):
+    """The hash-vid star path has no encode join to drop rows, but endpoints
+    missing from a supplied vertex table would silently vanish from the
+    label output — the long-keyed guard must raise just like the string
+    path's assert_endpoints_covered."""
+    e = edges_df(spark, [("a", "b"), ("b", "c")])
+    verts = spark.createDataFrame([("a",), ("b",)], "id string")
+    with pytest.raises(ValueError, match="not in the supplied vertices"):
+        connected_components(spark, e, vertices=verts)
+    res = connected_components(spark, e, vertices=verts, validate_vertices=False)
+    assert res.converged  # opt-out keeps the documented-unsafe behavior
 
 
 # --- shared vmap across graph ops -------------------------------------------

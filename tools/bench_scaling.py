@@ -37,8 +37,17 @@ tot = nexec * cores_per
 # REAL separate executor JVMs (spark standalone local-cluster): the faithful
 # sandbox stand-in for an N- vs 4N-executor cluster — per-executor GC and
 # cross-JVM shuffle, unlike local[N] threads sharing one heap.
+import shutil
+shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
 spark = (SparkSession.builder.master(f"local-cluster[{nexec},{cores_per},13312]")
          .appName(f"scale-{op}-{nexec}x{cores_per}")
+         # tmpfs shuffle dirs: all executor JVMs on one box share ONE
+         # physical disk, which a real N-node cluster does not — the 4x4
+         # leg's aggregate shuffle-write demand is 4x the 1x4 leg's and a
+         # shared spindle caps it artificially. RAM-backed local dirs
+         # model per-node disks (each node of a real cluster brings its
+         # own); documented in BENCH/BASELINE.md.
+         .config("spark.local.dir", "/dev/shm/spark-local")
          .config("spark.sql.shuffle.partitions", str(tot))
          .config("spark.executor.memory", "12g")
          .config("spark.driver.memory", "8g")
