@@ -250,9 +250,17 @@ def _join_mins(rows: DataFrame, mins: DataFrame, hub_threshold: int, spark, salt
     jk = F.when(
         jd, F.pmod(F.xxhash64("src", "dst"), F.lit(1024)).cast("string")
     ).otherwise(F.col("src"))
+    # shuffle_hash: SMJ would SORT both sides (hundreds of millions of
+    # rows) — a hash join streams them; the whole safe path then contains
+    # no sort at all (hash agg + hash join), which is what lets it scale
+    # under the memory-bandwidth contention sorts suffer from
     return (
         j.withColumns({"_jd": jd, "_jk": jk})
-        .join(rest, (F.col("_jd") == F.col("_rd")) & (F.col("_jk") == F.col("_rk")), "left")
+        .join(
+            rest.hint("shuffle_hash"),
+            (F.col("_jd") == F.col("_rd")) & (F.col("_jk") == F.col("_rk")),
+            "left",
+        )
         .select("src", "dst", F.coalesce(F.col("_hmv"), F.col("mv")).alias("mv"))
     )
 
@@ -522,7 +530,14 @@ def connected_components(
     """``vmap``: an optional pre-built (id, vid) map from
     ``vids.string_sorted_vids`` over the same vertex universe — lets
     callers running several graph ops on one graph (bench, CLI) pay the
-    encode jobs once. ``skew_threshold``/``driver_finish_edges``/
+    encode jobs once.
+
+    ``validate_vertices`` (with a supplied ``vertices``): the string-sorted
+    path raises ValueError HERE on endpoints missing from the vertex table;
+    the hash-vid star path fuses the same complete guard into the label
+    decode (zero cost on valid input) and raises at the caller's FIRST
+    ACTION on ``labels`` instead — either way no silently-wrong result can
+    be observed. ``skew_threshold``/``driver_finish_edges``/
     ``hub_broadcast_limit`` tune the star path only (see module doc);
     ``skew_threshold=None`` (default) re-derives the hub cutoff every
     round as ``SKEW_TASK_RATIO × 2·|E|/nparts`` — relative to the
@@ -586,29 +601,17 @@ def connected_components(
     t_ph = _time.time()
     stats0 = _edge_stats(canon)  # materializes the cache (and the first fingerprint)
     phases["setup_materialize"] = round(_time.time() - t_ph, 3)
-    if do_validate and not order_preserving:
-        # hash path never drops edges at encode (no join), but endpoints
-        # absent from `vertices` would be silently MISSING from the label
-        # output (labels are built off the vertex table). Checked on LONG
-        # keys over the already-cached canon — ~5× cheaper than the string
-        # anti-join (residual risk: a missing endpoint whose hash collides
-        # with a present vertex id escapes, ~1e-12 at 16M vertices; the
-        # collision check above covers verts internally, not edge strings).
-        t_ph = _time.time()
-        missing = (
-            canon.select(F.explode(F.array("src", "dst")).alias("vid"))
-            .distinct()
-            .join(vmap.select("vid"), "vid", "left_anti")
-            .count()
-        )
-        if missing:
-            canon.unpersist()
-            raise ValueError(
-                f"{missing} edge endpoint(s) are not in the supplied vertices table; "
-                "pass vertices=None to derive the universe from the edges, or fix the "
-                "table (validate_vertices=False skips this check)"
-            )
-        phases["validate"] = round(_time.time() - t_ph, 3)
+    # Hash-path endpoint-coverage guard: the hash encode never drops edges
+    # (no join), but endpoints absent from `vertices` would be silently
+    # MISSING from the label output (labels are built off the vertex
+    # table). Instead of a standalone anti-join (measured 36-89 s at sf32
+    # — a whole setup phase), the check is FUSED into the final decode
+    # join: it becomes a full_outer there and any active vertex without a
+    # vmap match trips F.raise_error at the caller's first action (see
+    # _run_star). Star contraction preserves non-isolated vertex support
+    # every round, so the final active_map still contains every
+    # non-isolated endpoint — the fused check is complete, not a sample.
+    validate_fused = do_validate and not order_preserving
 
     stored_algo = None
     start_iter = 0
@@ -628,6 +631,7 @@ def connected_components(
                 spark, canon, stats0, vmap, order_preserving, nparts, max_iterations,
                 checkpoint_store, start_iter,
                 skew_threshold, driver_finish_edges, hub_broadcast_limit, phases,
+                validate_fused,
             )
         else:
             labels, it, converged, iter_secs = _run_propagation(
@@ -646,7 +650,7 @@ def connected_components(
 def _run_star(
     spark, canon, stats0, vmap, order_preserving, nparts, max_iterations,
     checkpoint_store, start_iter, skew_threshold, driver_finish_edges,
-    hub_broadcast_limit, phases=None,
+    hub_broadcast_limit, phases=None, validate_fused=False,
 ):
     import time
 
@@ -805,14 +809,59 @@ def _run_star(
     # lab feeds BOTH the groupBy and the join — localCheckpoint so the
     # vmap⋈active_map subtree (and the settled resolution under it)
     # computes once, not twice (no subtree reuse across a self-join).
+    # shuffle_hash hints: both label joins would otherwise SMJ-sort
+    # |V|-sized sides; hashing the smaller side keeps the decode sort-free.
+    # validate_fused: the endpoint-coverage guard rides this join — active
+    # vertices with no vmap row (an edge endpoint missing from the
+    # supplied vertex table) surface as null-id rows of the full_outer and
+    # trip raise_error at the caller's first action. Fused = free when the
+    # input is valid; a standalone anti-join cost a whole setup phase.
+    _missing_msg = (
+        "edge endpoint(s) are not in the supplied vertices table; "
+        "pass vertices=None to derive the universe from the edges, or "
+        "fix the table (validate_vertices=False skips this check)"
+    )
+    if validate_fused:
+        # two complementary raise sites make the fused guard COMPLETE:
+        # (a) a missing CHILD endpoint = active src with no vmap match →
+        #     null-id row of the full_outer;
+        # (b) a missing ROOT endpoint never appears as an active src (at
+        #     the star fixed point roots are only dsts), so it surfaces as
+        #     a label group in which no member is its own root
+        #     (_selfroot: the root's own row has _root null, vid = lbl).
+        id_expr = F.when(
+            F.col("id").isNull(), F.raise_error(F.lit(_missing_msg)).cast("string")
+        ).otherwise(F.col("id"))
+        lab = (
+            vmap.join(active_map.hint("shuffle_hash"), vmap.vid == F.col("src"), "full_outer")
+            .select(
+                id_expr.alias("id"),
+                F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"),
+                (F.col("vid").isNotNull() & F.col("_root").isNull()).alias("_selfroot"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        comp = lab.groupBy("lbl").agg(
+            F.min("id").alias("component"),
+            F.max(F.col("_selfroot").cast("int")).alias("_has_root"),
+        )
+        comp_expr = F.when(
+            F.col("_has_root") == 0, F.raise_error(F.lit(_missing_msg)).cast("string")
+        ).otherwise(F.col("component"))
+        return (
+            lab.join(comp.hint("shuffle_hash"), "lbl").select("id", comp_expr.alias("component")),
+            it,
+            converged,
+            iter_secs,
+        )
     lab = (
-        vmap.join(active_map, vmap.vid == F.col("src"), "left")
+        vmap.join(active_map.hint("shuffle_hash"), vmap.vid == F.col("src"), "left")
         .select("id", F.coalesce(F.col("_root"), F.col("vid")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
     comp = lab.groupBy("lbl").agg(F.min("id").alias("component"))
     return (
-        lab.join(comp, "lbl").select("id", "component"),
+        lab.join(comp.hint("shuffle_hash"), "lbl").select("id", "component"),
         it,
         converged,
         iter_secs,

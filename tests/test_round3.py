@@ -352,12 +352,28 @@ def test_table_synonyms_over_cap_raises(spark):
 def test_cc_hash_path_vertices_guard(spark):
     """The hash-vid star path has no encode join to drop rows, but endpoints
     missing from a supplied vertex table would silently vanish from the
-    label output — the long-keyed guard must raise just like the string
-    path's assert_endpoints_covered."""
+    label output. The guard is FUSED into the decode join (free when the
+    input is valid) and trips at the caller's first action — for BOTH the
+    missing-child case and the subtler missing-ROOT case (the component's
+    min-hash vertex never appears as an active src)."""
+    ids = ["a", "b", "c"]
+    hashes = {
+        r["id"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id string")
+        .select("id", F.xxhash64("id").alias("h"))
+        .collect()
+    }
+    root = min(ids, key=lambda i: hashes[i])  # the component min in hash space
+    child = next(i for i in ids if i != root)
     e = edges_df(spark, [("a", "b"), ("b", "c")])
+
+    for missing in (child, root):  # exercises raise sites (a) and (b)
+        verts = spark.createDataFrame([(v,) for v in ids if v != missing], "id string")
+        res = connected_components(spark, e, vertices=verts)
+        with pytest.raises(Exception, match="not in the supplied vertices"):
+            res.labels.collect()
+
     verts = spark.createDataFrame([("a",), ("b",)], "id string")
-    with pytest.raises(ValueError, match="not in the supplied vertices"):
-        connected_components(spark, e, vertices=verts)
     res = connected_components(spark, e, vertices=verts, validate_vertices=False)
     assert res.converged  # opt-out keeps the documented-unsafe behavior
 
