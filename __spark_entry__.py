@@ -389,6 +389,46 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_media_audio_profile(spark, sf_dir):
+    """Multimodal binary-column path, oracle-checked end-to-end: audio
+    blobs are derived deterministically from ``documents`` (64 bytes =
+    four chained md5 digests of the text — full 0-255 byte range, so the
+    int16 LE reinterpretation exercises both signs), then run through the
+    REAL media plumbing (MEDIA_SCHEMA binary column → Arrow →
+    ``audio_features`` mapInPandas kernel). Every feature is exactly
+    reproducible in SQL: int16 sums/sums-of-squares are integer-exact in
+    float64, the divisions are mirrored in the same order, and values are
+    rounded to 6dp on both sides (the harness's own float tolerance)."""
+    from pagerank_project_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.concat(
+        F.unhex(F.md5(F.col("text").cast("binary"))),
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(k))).cast("binary")))
+            for k in (1, 2, 3)
+        ],
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+        blob.alias("data"),
+    )
+    return audio_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zcr"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operator families (SURVEY.md §2)
@@ -423,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "media_audio_profile": q_media_audio_profile,
     }
 
 
@@ -820,6 +861,41 @@ SELECT a, b, cosine FROM (
 ) WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """,
         "synonym_topk": _synonym_topk_sql(min_count=20, topn=3),
+        # media_audio_profile: blob = 4 chained md5 digests (64 bytes = 32
+        # int16 LE samples); hex pairs decoded via strpos arithmetic (no
+        # blob functions needed), divisions mirror the numpy kernel's order
+        # so the doubles are bit-identical before the shared 6dp rounding
+        "media_audio_profile": """
+WITH hx AS (
+  SELECT doc_id,
+         md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, j,
+         16*(strpos('0123456789abcdef', substr(h, 4*j+1, 1))-1)
+           + (strpos('0123456789abcdef', substr(h, 4*j+2, 1))-1) AS lo,
+         16*(strpos('0123456789abcdef', substr(h, 4*j+3, 1))-1)
+           + (strpos('0123456789abcdef', substr(h, 4*j+4, 1))-1) AS hi
+  FROM hx, generate_series(0, 31) t(j)
+),
+p AS (
+  SELECT doc_id, j,
+         CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+              ELSE lo + 256*hi END AS s16
+  FROM s
+),
+z AS (
+  SELECT doc_id, j, s16, (s16 < 0) AS sb,
+         lead(s16 < 0) OVER (PARTITION BY doc_id ORDER BY j) AS sb_next
+  FROM p
+)
+SELECT doc_id,
+       ROUND(32.0/8000.0, 6) AS duration_sec,
+       ROUND(sqrt((SUM(CAST(s16 AS DOUBLE)*s16)/1073741824.0)/32.0), 6) AS rms,
+       ROUND(SUM(CASE WHEN sb_next IS NOT NULL AND sb <> sb_next THEN 1 ELSE 0 END)/31.0, 6) AS zcr
+FROM z GROUP BY doc_id
+""",
         **_code_oracles(),
     }
 

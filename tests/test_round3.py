@@ -571,3 +571,40 @@ def test_cosine_near_pairs_exact_budget_guard(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="broadcast budget"):
         sim.cosine_near_pairs_exact(spark, df, threshold=0.5)
+
+
+def test_media_audio_profile_matches_numpy(spark, tmp_path):
+    """The oracle-checked multimodal contract query: blobs derived from
+    document text via chained md5 must produce exactly the numpy kernel's
+    int16-PCM features (the DuckDB SQL oracle mirrors the same closed
+    forms; this pins the Spark side against an independent replica)."""
+    import hashlib
+
+    import numpy as np
+
+    from __spark_entry__ import q_media_audio_profile
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta", "gamma", "delta epsilon zeta"]}
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf_dir / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["duration_sec"], r["rms"], r["zcr"])
+        for r in q_media_audio_profile(spark, str(sf_dir)).collect()
+    }
+    assert len(got) == 3
+    for _, row in docs.iterrows():
+        blob = b"".join(
+            hashlib.md5((row["text"] + sfx).encode()).digest() for sfx in ("", "1", "2", "3")
+        )
+        s = np.frombuffer(blob, dtype="<i2").astype(np.float64)
+        x = s / 32768.0
+        exp = (
+            round(len(s) / 8000.0, 6),
+            round(float(np.sqrt((x * x).mean())), 6),
+            round(float((np.diff(np.signbit(x)) != 0).mean()), 6),
+        )
+        assert got[row["doc_id"]] == pytest.approx(exp, abs=1e-9)
