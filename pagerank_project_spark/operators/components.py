@@ -845,11 +845,19 @@ def _run_star(
             F.min("id").alias("component"),
             F.max(F.col("_selfroot").cast("int")).alias("_has_root"),
         )
-        comp_expr = F.when(
+        # PRUNE-PROOF raise placement: site (a) fires when `lab`
+        # materializes (localCheckpoint stores whole rows — column pruning
+        # never reaches below it); site (b) rides the JOIN KEY, which every
+        # downstream action must evaluate — a raise in the `component`
+        # projection instead would be column-pruned away by a bare
+        # labels.count() and the guard would silently pass.
+        comp_key = F.when(
             F.col("_has_root") == 0, F.raise_error(F.lit(_missing_msg)).cast("string")
-        ).otherwise(F.col("component"))
+        ).otherwise(F.col("lbl"))
         return (
-            lab.join(comp.hint("shuffle_hash"), "lbl").select("id", comp_expr.alias("component")),
+            lab.join(
+                comp.select(comp_key.alias("lbl"), "component").hint("shuffle_hash"), "lbl"
+            ).select("id", "component"),
             it,
             converged,
             iter_secs,

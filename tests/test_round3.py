@@ -372,6 +372,12 @@ def test_cc_hash_path_vertices_guard(spark):
         res = connected_components(spark, e, vertices=verts)
         with pytest.raises(Exception, match="not in the supplied vertices"):
             res.labels.collect()
+        # the raise must also survive COLUMN PRUNING: a bare count() reads
+        # no projection, so the raise sites ride the checkpoint barrier
+        # (missing child) and the decode join key (missing root)
+        res2 = connected_components(spark, e, vertices=verts)
+        with pytest.raises(Exception, match="not in the supplied vertices"):
+            res2.labels.count()
 
     verts = spark.createDataFrame([("a",), ("b",)], "id string")
     res = connected_components(spark, e, vertices=verts, validate_vertices=False)

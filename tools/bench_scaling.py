@@ -32,6 +32,7 @@ from pagerank_project_spark.datagen import ensure_fixture
 from pagerank_project_spark.operators.extract import vertices_from_files
 
 sf = float(sys.argv[1]); nexec = int(sys.argv[2]); iters = int(sys.argv[3]); op = sys.argv[4]
+cc_pin = int(sys.argv[5]) if len(sys.argv) > 5 else 8_000_000
 cores_per = 4
 tot = nexec * cores_per
 # REAL separate executor JVMs (spark standalone local-cluster): the faithful
@@ -104,13 +105,16 @@ elif op == "cc":
     # sf16 (max hub deg ~2.6M) and sf32 (~5M) — verify the per-round log
     # if benching a new sf: a pin UNDER the hub degree silently flips
     # round 1 onto the safe path (measured 2x slower at sf32).
-    res = connected_components(spark, edges, vertices=verts, skew_threshold=8_000_000)
+    res = connected_components(spark, edges, vertices=verts, skew_threshold=cc_pin)
+    t_dec = time.time()
     n_comp = res.labels.select("component").distinct().count()
+    decode_sec = round(time.time() - t_dec, 2)
     dt = time.time() - t0
     steady = sorted(res.iter_secs[1:]) or res.iter_secs  # round 1 = codegen warmup
     med = steady[len(steady) // 2]
     out.update({"iters": res.iterations, "converged": res.converged, "n_components": n_comp,
                 "wall_sec": round(dt, 2), "iter_secs": res.iter_secs, "sec_per_iter": med,
+                "phase_secs": res.phase_secs, "decode_count_sec": decode_sec,
                 "whole_run_eps": round(n_edges * res.iterations / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op == "lpa":
@@ -128,11 +132,11 @@ print(json.dumps(out))
 """
 
 
-def run_scale(sf: float, nexec: int, iters: int, op: str, retries: int = 2) -> dict:
+def run_scale(sf: float, nexec: int, iters: int, op: str, retries: int = 2, cc_pin: int = 8_000_000) -> dict:
     last_err = ""
     for attempt in range(retries + 1):
         out = subprocess.run(
-            [sys.executable, "-c", SCALE_SNIPPET, str(sf), str(nexec), str(iters), op],
+            [sys.executable, "-c", SCALE_SNIPPET, str(sf), str(nexec), str(iters), op, str(cc_pin)],
             capture_output=True, text=True, cwd="/root/repo", timeout=5400,
         )
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -170,6 +174,10 @@ def main():
     ap.add_argument("--ops", default="relational,csr,cc,lpa")
     ap.add_argument("--sf_dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip_bench", action="store_true")
+    ap.add_argument("--cc_pin", type=int, default=8_000_000,
+                    help="fixed CC skew cutoff (same at both legs -> identical plans); "
+                         "above every hub degree = all-window rounds, a sane hub cutoff "
+                         "(e.g. 1M) = sort-free safe rounds on the skewed early rounds")
     args = ap.parse_args()
     ops = args.ops.split(",")
 
@@ -184,7 +192,7 @@ def main():
     for op in ops:
         for nexec in (1, 4):
             t0 = time.time()
-            scale[(op, nexec)] = run_scale(args.sf, nexec, args.iters, op)
+            scale[(op, nexec)] = run_scale(args.sf, nexec, args.iters, op, cc_pin=args.cc_pin)
             r = scale[(op, nexec)]
             print(f"{op} {nexec}x4 executors: {r['edges_per_sec_per_superstep']:,.0f} edges/s/superstep, "
                   f"wall {r['wall_sec']}s ({time.time() - t0:.0f}s total)", flush=True)
