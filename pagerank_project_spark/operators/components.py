@@ -122,7 +122,12 @@ HUB_BROADCAST_LIMIT = 1_000_000
 # parallelism serializes the round (safe path required). An ABSOLUTE
 # degree cutoff gets this wrong in both directions, which is why the
 # default is ratio-based; pass skew_threshold explicitly to override.
-SKEW_TASK_RATIO = 0.5
+# Calibration (sf32 A/B, 131M edges, 5M-degree hub): window round 1 beat
+# safe at hub/task-share 0.08 (164s vs 208s at 1×4) but LOST at share
+# 0.3 (70s vs 60s at 4×4) — the window's per-partition sort is
+# memory-bandwidth-bound and scales ~2.3× where the safe path's hash
+# agg + shuffle-hash join scale 3.2-4.5×. The crossover sits near 0.2.
+SKEW_TASK_RATIO = 0.2
 # Floor so micro-graphs never flap between paths on estimate noise.
 MIN_SKEW_THRESHOLD = 65_536
 # Leaf peeling engages when a round shrinks the edge multiset by less

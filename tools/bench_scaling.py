@@ -101,10 +101,16 @@ elif op == "cc":
     # window/safe/peel schedule (the dynamic rows-per-task default would
     # pick different physical paths at 1x4 vs 4x4, which is the right
     # production behavior but makes the N-vs-4N ratio compare two
-    # different plans). 8M keeps every round on the window path at both
-    # sf16 (max hub deg ~2.6M) and sf32 (~5M) — verify the per-round log
-    # if benching a new sf: a pin UNDER the hub degree silently flips
-    # round 1 onto the safe path (measured 2x slower at sf32).
+    # different plans). Measured A/B at sf32 (131M edges): pin=8M (every
+    # round windowed) walls 512s/179s = 0.71 eff — the window's
+    # per-partition SORT is memory-bandwidth-bound and scales at only
+    # ~2.3x, while every hash phase (canon distinct, peel, safe rounds)
+    # scales 3.2-4.7x. pin=1M (skewed early rounds on the sort-free safe
+    # path: map-side-combined groupBy-min + shuffle-hash join-back) walls
+    # 563s/171s = 0.82 eff and the best 4x4 wall; identical labels and
+    # component counts either way (1,643,521 at sf32). The earlier
+    # "safe 2x slower" reading predated the shuffle_hash hint in
+    # _join_mins, when the residual join sort-merge-sorted both sides.
     res = connected_components(spark, edges, vertices=verts, skew_threshold=cc_pin)
     t_dec = time.time()
     n_comp = res.labels.select("component").distinct().count()
