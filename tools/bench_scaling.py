@@ -310,22 +310,45 @@ superstep: `max(job_floor, edges/scan_bw + |V|/shuffle_bw)`; edges are
 hash co-partitioned once and never reshuffled, only the |V|-sized rank
 vector moves, and the scatter is map-side combined.
 
-Round-3 changes aimed at the CC whole-run number (0.67 in round 2):
-(a) DRIVER-FINISH TAIL — once the contracted edge set falls under 1M
+Round-3 changes that took CC whole-run from 0.67 (round 2, sf16
+824 s→307 s) to 0.82 (sf32) while cutting wall ~4×:
+(a) DRIVER-FINISH TAIL — once the contracted edge set falls under 4M
 edges the remaining O(log) rounds (each a full scheduling barrier to
 process <2% of the edges — the measured ~12 s/round floor at 4×4 that
 capped round 2's whole run) are replaced by ONE bounded collect + a
-driver-side union-find emitting exactly the star fixed point; labels are
-pinned identical to a fully-distributed run by test. (b) PER-ROUND
-SKEW-HYBRID — star rounds consult a sampled max-degree estimate: low-skew
-rounds keep the window-aggregate physicalization (1.64× faster), skewed
-rounds switch to a map-side-combined groupBy-min with hub keys routed
-through a broadcast (or salted) join, so no task ever buffers a hub's
-whole neighbor multiset ("curse of the last reducer" — and star
+driver-side vectorized numpy min-label pass emitting exactly the star
+fixed point; labels are pinned identical to a fully-distributed run by
+test. (b) LEAF PEELING + SKEW PEEL — stalled rounds (a giant component's
+star forms in ~2 rounds, then every round re-scans settled children) set
+leaf edges aside into a settled forest resolved by pointer jumping at
+decode. (c) ZERO-SHUFFLE HASH-VID ENCODE — star mode needs only the
+component PARTITION mid-run, so vids are inline xxhash64 (collision-
+checked, string-sorted fallback) and the min-string relabel happens once
+at decode; the round-2 sorted encode was ~80% of setup wall. (d) FUSED
+ENDPOINT VALIDATION — the endpoint-coverage guard rides the decode join
+(full_outer + raise_error on the join key, prune-proof) instead of a
+standalone anti-join that cost 36-89 s at sf32. (e) SORT-FREE SKEWED
+ROUNDS — measured A/B at sf32 (131M edges, 5M-degree hub): every
+hash-based phase (canonical distinct 4.7×, peel 4.5×, safe rounds
+3.2-4.5×) scales near-ideally N→4N while the window physicalization's
+per-partition SORT is memory-bandwidth-bound and scales at ~2.3×; the
+dynamic hub cutoff is recalibrated (SKEW_TASK_RATIO 0.5→0.2) so skewed
+rounds take the map-side-combined groupBy-min + shuffle-hash join-back
+path (no task buffers a hub's whole neighbor multiset — and star
 contraction CREATES a degree-|C| hub per component by design, so this
 path is what a converged web-scale run actually exercises).
 
-Raw JSON: BENCH/scaling.json, BENCH/local8.json, BENCH/local32.json.
+CC whole-run efficiency is size-dependent in the way Amdahl predicts:
+0.719 at sf16 (75 s whole run at 4×4 — estimate jobs, driver tail and
+codegen warmup are parallelism-invariant ~12 s) vs 0.82 at sf32 (2× the
+data per barrier). The per-phase split in scaling_cc_sf16_pin1M.json /
+scaling.json shows the scalable terms (rounds, setup, peel) at 3.2-4.7×;
+a 100 TB run amortizes the fixed floors further. Both pins produce
+identical labels and component counts (822,647 at sf16 / 1,643,521 at
+sf32, verified leg-to-leg).
+
+Raw JSON: BENCH/scaling.json, BENCH/scaling_cc_sf16_pin1M.json,
+BENCH/arrow_sweep.json, BENCH/local8.json, BENCH/local32.json.
 """)
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump({f"{k[0]}_{k[1]}": v for k, v in scale.items()}, f, indent=2)
