@@ -429,6 +429,56 @@ def q_media_audio_profile(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Keep-one dedup: exact n-gram-Jaccard pairs → transitive closure via
+    the star-contraction CC operator → canonical doc (min id) per cluster.
+    Oracle = the same pair SQL + converged min-label propagation (unrolled
+    with generous headroom: near-dup clusters are near-cliques). The
+    production-scale twin clusters ``minhash_lsh_pairs`` output instead
+    (hash-seeded → pinned by pytest, not SQL)."""
+    from pagerank_project_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return near_dup_clusters(spark, pairs)
+
+
+def q_events_sessions(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) — the batch twin of the
+    ``applyInPandasWithState`` streaming sessionizer, here oracle-checked
+    against a lag/cumsum SQL replay. Gap test is on whole seconds
+    (floor-cast on the Spark side ≡ date_diff('second') boundary count on
+    the DuckDB side), so sub-second fractions can't flip an engine."""
+    from pagerank_project_spark.streaming.edge_stream import sessionize_events
+
+    s = sessionize_events(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+# corpus-mixing rates for the sampling contract query: keep 60% of English,
+# 25% of German, 10% of everything else (deterministic md5 buckets — the
+# kept set is a function of the data only, reproducible on any cluster)
+SAMPLE_RATES = {"en": 60, "de": 25}
+SAMPLE_DEFAULT_PCT = 10
+SAMPLE_SALT = "mix1"
+
+
+def q_docs_lang_sample(spark, sf_dir):
+    from pagerank_project_spark.operators.sampling import stratified_hash_sample
+    from pagerank_project_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents").withColumn("lang_pred", lang_id(F.col("text")))
+    kept = stratified_hash_sample(
+        docs, "doc_id", F.col("lang_pred"), SAMPLE_RATES,
+        default_pct=SAMPLE_DEFAULT_PCT, salt=SAMPLE_SALT,
+    )
+    return kept.select("doc_id", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operator families (SURVEY.md §2)
@@ -464,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "media_audio_profile": q_media_audio_profile,
+        "dedup_clusters": q_dedup_clusters,
+        "events_sessions": q_events_sessions,
+        "docs_lang_sample": q_docs_lang_sample,
     }
 
 
@@ -644,6 +697,73 @@ FROM inter
 JOIN sz sa ON sa.doc_id = a
 JOIN sz sb ON sb.doc_id = b
 WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.2, rounds: int = 8) -> str:
+    """Converged CC over the exact-Jaccard pair graph (near-dup clusters
+    are near-cliques, so ``rounds`` unrolled min-label steps carry large
+    headroom over any real dist-to-min), then canonical = MIN doc id and
+    size per component — mirroring ``near_dup_clusters``."""
+    e_sql = f"SELECT a AS src, b AS dst FROM ({_ngram_jaccard_sql(threshold)})"
+    return (
+        _cc_prop_body(e_sql, None, rounds)
+        + f"""
+SELECT m.id AS doc_id, s.canonical_id, s.cluster_size
+FROM l{rounds} m JOIN (
+  SELECT component, MIN(id) AS canonical_id, COUNT(*)::BIGINT AS cluster_size
+  FROM l{rounds} GROUP BY component
+) s USING (component)
+"""
+    )
+
+
+def _events_sessions_sql(gap_minutes: int = 30) -> str:
+    # date_diff('second', …) counts whole-second boundary crossings =
+    # floor(t2) - floor(t1), matching the Spark side's long casts exactly
+    return f"""
+WITH x AS (
+  SELECT user_id, ts, value,
+    CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+              > {gap_minutes * 60} THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+def _docs_lang_sample_sql() -> str:
+    from pagerank_project_spark.operators.textstats import STOPWORDS
+
+    def sw(lang):
+        return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+    hits = {lang: f"len(regexp_extract_all(lower(text), '{sw(lang)}'))" for lang in sorted(STOPWORDS)}
+    rate_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    {hits["de"]} AS h_de, {hits["en"]} AS h_en, {hits["es"]} AS h_es, {hits["fr"]} AS h_fr
+  FROM documents
+), lp AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM base
+)
+SELECT doc_id, lang_pred FROM lp
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'), 1, 8) AS BIGINT) % 100
+      < CASE lang_pred {rate_case} ELSE {SAMPLE_DEFAULT_PCT} END
 """
 
 
@@ -896,6 +1016,9 @@ SELECT doc_id,
        ROUND(SUM(CASE WHEN sb_next IS NOT NULL AND sb <> sb_next THEN 1 ELSE 0 END)/31.0, 6) AS zcr
 FROM z GROUP BY doc_id
 """,
+        "dedup_clusters": _dedup_clusters_sql(0.2),
+        "events_sessions": _events_sessions_sql(30),
+        "docs_lang_sample": _docs_lang_sample_sql(),
         **_code_oracles(),
     }
 

@@ -296,3 +296,40 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (pairs → groups → canonical representative)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(spark, pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Cluster candidate near-duplicate PAIRS into duplicate GROUPS and
+    elect a canonical representative per group — the keep-one step of a
+    dedup pipeline (A≈B and B≈C must collapse to ONE kept doc even when
+    A≉C directly; pairwise drop-the-second would keep two of the three).
+
+    Transitive closure = connected components over the pair graph, so this
+    composes the engine's star-contraction CC operator (O(log n) rounds,
+    hub-skew-safe — see operators/components.py). The pair graph is tiny
+    relative to the corpus (only docs with ≥1 near-dup appear), so every
+    doc in the output belongs to a cluster of size ≥ 2 by construction;
+    the caller anti-joins ``doc_id != canonical_id`` rows against the
+    corpus to drop them.
+
+    Canonical = MIN NUMERIC doc id in the cluster — recomputed here from
+    the member ids, independent of CC's internal label convention (star
+    mode labels by min STRING, where "10" < "2").
+
+    → (doc_id, canonical_id, cluster_size)
+    """
+    from .components import connected_components
+
+    edges = pairs.select(
+        F.col(a_col).cast("string").alias("src"), F.col(b_col).cast("string").alias("dst")
+    )
+    labels = connected_components(spark, edges).labels
+    members = labels.select(F.col("id").cast("long").alias("doc_id"), "component")
+    stats = members.groupBy("component").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("cluster_size")
+    )
+    return members.join(stats, "component").select("doc_id", "canonical_id", "cluster_size")
