@@ -30,7 +30,9 @@ def main() -> None:
     from __spark_entry__ import (
         _sf_of,
         q_degree_distribution,
+        q_docs_lang_sample,
         q_embedding_topk,
+        q_events_sessions,
         q_minhash_lsh,
         q_pagerank_k3,
         q_text_profile,
@@ -136,6 +138,17 @@ def main() -> None:
         q_minhash_lsh(spark, sf_dir).count()
     with timed("embedding_topk"):
         q_embedding_topk(spark, sf_dir).count()
+    # keep-one dedup at the SCALE path: MinHash-LSH candidate pairs (not the
+    # quadratic exact verifier) clustered by the star-CC operator
+    with timed("docs_dedup_clusters_lsh"):
+        from pagerank_project_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        near_dup_clusters(spark, minhash_lsh_pairs(docs, threshold=0.5)).count()
+    with timed("events_sessions"):
+        q_events_sessions(spark, sf_dir).count()
+    with timed("docs_lang_sample"):
+        q_docs_lang_sample(spark, sf_dir).count()
 
     total = round(time.time() - t_all, 3)
     print(

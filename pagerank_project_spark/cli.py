@@ -21,7 +21,7 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pagerank_project_spark")
     # reference-parity knobs
-    p.add_argument("--data", required=True, help="edge-list CSV(.gz) path, or a fixture dir with source_table/")
+    p.add_argument("--data", default=None, help="edge-list CSV(.gz) path, or a fixture dir with source_table/")
     p.add_argument("--personalization_vector_query", default=None)
     p.add_argument("--search_query", default="")
     p.add_argument("--filter_ratio", type=float, default=None)
@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpa_iterations", type=int, default=10)
     p.add_argument("--cc_algorithm", default="star", choices=["star", "propagation"])
     p.add_argument("--output", default=None, help="write result parquet here instead of printing top-k")
+    p.add_argument("--prepared_dir", default=None,
+                   help="prepared-graph dir (plans.prepared_graph): with --prepare, build it "
+                        "from --data; without, run pagerank straight from it (no --data needed)")
+    p.add_argument("--prepare", action="store_true",
+                   help="build the prepared graph at --prepared_dir from --data and exit")
     return p
 
 
@@ -60,15 +65,37 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="pagerank_project_spark", cores=args.cores)
 
-    if args.data.endswith((".csv", ".csv.gz", ".gz")):
+    use_prepared = args.prepared_dir and not args.prepare
+    if use_prepared and args.algorithm != "pagerank":
+        print("--prepared_dir currently serves --algorithm pagerank", file=sys.stderr)
+        return 2
+    if not args.data and not use_prepared:
+        print("--data is required (or pass --prepared_dir to run from a prepared graph)",
+              file=sys.stderr)
+        return 2
+
+    edges = vertices = None
+    if args.data and args.data.endswith((".csv", ".csv.gz", ".gz")):
         from pagerank_project_spark.sources.csv_edgelist import read_edgelist_csv
 
         edges, vertices = read_edgelist_csv(spark, args.data), None
-    else:
+    elif args.data:
         from pagerank_project_spark.operators.extract import extract_edges, vertices_from_files
 
         files = spark.read.parquet(f"{args.data}/source_table/data")
         edges, vertices = extract_edges(files), vertices_from_files(files)
+
+    if args.prepare:
+        from pagerank_project_spark.plans.prepared_graph import prepare_graph
+
+        if not args.prepared_dir:
+            print("--prepare needs --prepared_dir", file=sys.stderr)
+            return 2
+        pg = prepare_graph(spark, edges, args.prepared_dir, vertices=vertices,
+                           buckets=args.num_partitions, filter_ratio=args.filter_ratio)
+        print(json.dumps({"prepared": args.prepared_dir, "n_vertices": pg.n,
+                          "n_edges": pg.m, "buckets": pg.buckets}))
+        return 0
 
     store = CheckpointStore(args.checkpoint_dir) if args.checkpoint_dir else None
 
@@ -77,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             alpha=args.alpha,
             max_iterations=args.max_iterations,
             epsilon=args.epsilon,
-            filter_ratio=args.filter_ratio,
+            filter_ratio=None if use_prepared else args.filter_ratio,
             mode=args.mode,
             strategy=args.strategy,
             num_partitions=args.num_partitions,
@@ -88,7 +115,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.personalization_vector_query
             else None
         )
-        res = pagerank(spark, edges, vertices=vertices, cfg=cfg, v_expr=v_expr, checkpoint_store=store)
+        if use_prepared:
+            from pagerank_project_spark.plans.prepared_graph import load_prepared
+
+            res = pagerank(spark, cfg=cfg, v_expr=v_expr, checkpoint_store=store,
+                           prepared=load_prepared(spark, args.prepared_dir))
+        else:
+            res = pagerank(spark, edges, vertices=vertices, cfg=cfg, v_expr=v_expr,
+                           checkpoint_store=store)
         out = res.ranks
         print(json.dumps({"iterations": res.iterations, "converged": res.converged,
                           "n_vertices": res.n_vertices, "n_edges": res.n_edges}))

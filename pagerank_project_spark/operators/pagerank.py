@@ -119,11 +119,12 @@ def weighted_edges(edges: DataFrame, n_vertices: int | None = None) -> DataFrame
 
 def pagerank(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     vertices: DataFrame | None = None,
     cfg: PageRankConfig | None = None,
     v_expr: Column | None = None,
     checkpoint_store=None,
+    prepared=None,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src: string, dst: string).
 
@@ -133,37 +134,55 @@ def pagerank(
     checkpoint_store: optional plans.checkpoint.CheckpointStore — iteration
     state + metrics written per superstep; pass a store with a populated
     latest iteration to RESUME mid-run.
+    prepared: optional plans.prepared_graph.PreparedGraph — the
+    query-independent build (vid encode, weights, dangling flags, bucketed
+    sorted edges) loaded from disk instead of recomputed; mutually
+    exclusive with ``edges``. Personalization stays query-time. The spam
+    filter is baked at prepare time, so cfg.filter_ratio must be unset.
     """
     cfg = cfg or PageRankConfig()
     sc = spark.sparkContext
     t_start = time.time()
 
-    verts = build_vertices(edges, vertices)
-    n = verts.count()
-    if n == 0:
-        raise ValueError("empty graph")
-
-    if vertices is not None and cfg.validate_vertices:
-        # Endpoints missing from a user-supplied vertex table would be
-        # silently dropped by the encode join below — but 1/outdeg weights
-        # are computed BEFORE that drop, leaving sub-stochastic rows and
-        # unmarked danglers (silently wrong ranks). One setup-time guard.
-        from pagerank_project_spark.operators.vids import assert_endpoints_covered
-
-        assert_endpoints_covered(edges, verts)
-
-    e = edges.select("src", "dst")
-    if cfg.filter_ratio is not None:
-        e = apply_filter_ratio(e, n, cfg.filter_ratio)
+    if (edges is None) == (prepared is None):
+        raise ValueError("pass exactly one of edges / prepared")
+    if prepared is not None and cfg.filter_ratio is not None:
+        raise ValueError("filter_ratio is baked into the prepared graph at prepare time; "
+                         "pass it to prepare_graph, not the query")
 
     nparts = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ew_str = weighted_edges(e, n)
 
-    # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
-    dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")
-    state = verts.join(dang.select(F.col("id").alias("_d")), verts.id == F.col("_d"), "left").select(
-        "id", F.when(F.col("_d").isNotNull(), 1.0).otherwise(0.0).alias("dang")
-    )
+    if prepared is not None:
+        n = prepared.n
+        if n == 0:
+            raise ValueError("empty graph")
+        state = prepared.base.select("id", "vid", F.col("dang").cast("double").alias("dang"))
+    else:
+        verts = build_vertices(edges, vertices)
+        n = verts.count()
+        if n == 0:
+            raise ValueError("empty graph")
+
+        if vertices is not None and cfg.validate_vertices:
+            # Endpoints missing from a user-supplied vertex table would be
+            # silently dropped by the encode join below — but 1/outdeg weights
+            # are computed BEFORE that drop, leaving sub-stochastic rows and
+            # unmarked danglers (silently wrong ranks). One setup-time guard.
+            from pagerank_project_spark.operators.vids import assert_endpoints_covered
+
+            assert_endpoints_covered(edges, verts)
+
+        e = edges.select("src", "dst")
+        if cfg.filter_ratio is not None:
+            e = apply_filter_ratio(e, n, cfg.filter_ratio)
+
+        ew_str = weighted_edges(e, n)
+
+        # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
+        dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")
+        state = verts.join(dang.select(F.col("id").alias("_d")), verts.id == F.col("_d"), "left").select(
+            "id", F.when(F.col("_d").isNotNull(), 1.0).otherwise(0.0).alias("dang")
+        )
 
     # personalization vector v (pagerank.py:81-97): L1-normalized indicator,
     # then re-normalized by norm_v inside power_method (pagerank.py:93-95,:113)
@@ -181,6 +200,32 @@ def pagerank(
     # norm_v selects the final normalization; composition: v_raw/l1 then /‖·‖.
     v_after_l1_l2 = v_sums["l2"] / v_l1  # L2 norm of (v_raw / l1)
     v_scale = 1.0 / (v_l1 * (v_after_l1_l2 if cfg.norm_v == "l2" else 1.0))
+
+    if prepared is not None:
+        # encode already on disk: (id, vid, dang) + v_raw from the v block —
+        # zero joins, zero shuffles beyond the one id-repartition
+        vmap = state.select("id", "vid", "dang", "v_raw").repartition(nparts, "id").persist()
+        ew_enc = prepared.edges
+        hubs = None
+        if cfg.strategy == "csr":
+            from pagerank_project_spark.operators.superstep_csr import prepare_salted_edges
+
+            ew, hubs = prepare_salted_edges(ew_enc, nparts, cfg.salt_buckets, cfg.hub_degree_threshold)
+            ew = ew.persist()
+            hubs = hubs.persist()
+            hubs.count()
+        elif prepared.buckets == nparts:
+            # the bucketed scan already reports HashPartitioning(src, nparts)
+            # and per-bucket sorted output — the in-run repartition+sort
+            # setup shuffle vanishes entirely
+            ew = ew_enc.persist()
+        else:
+            ew = ew_enc.repartition(nparts, "src").sortWithinPartitions("src").persist()
+        m = ew.count()
+        return _run_loop(
+            spark, cfg, vmap, ew, hubs, n, m, nparts, t_start,
+            checkpoint_store, v_scale,
+        )
 
     # --- internal dictionary encoding: string id → long vid ----------------
     # Long join keys halve shuffle bytes and double measured superstep speed
@@ -236,7 +281,16 @@ def pagerank(
         # the single largest superstep cost at sf≥1 without this).
         ew = ew_enc.repartition(nparts, "src").sortWithinPartitions("src").persist()
     m = ew.count()  # materialize the partitioned, weighted, encoded edges once
+    return _run_loop(
+        spark, cfg, vmap, ew, hubs, n, m, nparts, t_start, checkpoint_store, v_scale,
+    )
 
+
+def _run_loop(
+    spark, cfg, vmap, ew, hubs, n, m, nparts, t_start, checkpoint_store, v_scale,
+) -> PageRankResult:
+    """Init/resume the iteration state from a built (vmap, ew) pair and run
+    the hot loop — shared by the build-in-run and prepared-graph paths."""
     start_iter = 0
     resumed = False
     if checkpoint_store is not None:

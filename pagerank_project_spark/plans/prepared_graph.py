@@ -1,0 +1,148 @@
+"""Prepared persistent graph — pay the one-time graph build ONCE per corpus.
+
+The measured setup cost of a PageRank run at sf16+ (vid-encode joins,
+out-degree weights, repartition + per-partition sort) is hundreds of
+seconds at 1×4 executors — and it is identical for every query over the
+same corpus. A production deployment runs MANY queries (personalized
+vectors, different modes, CC, LPA) over one slowly-changing graph, so the
+build belongs in a prepare step whose output is a persistent table:
+
+- ``{path}/vertices``: parquet ``(id string, vid long, dang double)`` —
+  the dictionary encoding (xxhash64 with the collision fallback of
+  ``vids.encode_or_fallback``) plus the dangling indicator.
+- ``{path}/edges``: a BUCKETED, per-bucket-SORTED parquet table
+  ``(src long, dst long, w double)``, ``CLUSTERED BY (src) … INTO n
+  BUCKETS``. A bucketed scan reports ``HashPartitioning(src, n)`` (Spark's
+  table-bucket hash is the same Murmur3 the shuffle uses), so the
+  per-superstep join and every ``groupBy(src)`` consume it with ZERO
+  exchange on the edge side — the property the in-run
+  ``repartition + sortWithinPartitions`` setup step otherwise buys with a
+  full shuffle per run. Written with ``repartition(n, src)`` first so each
+  bucket is exactly one file (multi-file buckets lose the scan's
+  sorted-output guarantee).
+- ``{path}/manifest.json``: counts, bucket count, table name.
+
+Bucket metadata lives in the session catalog, which the default in-memory
+catalog forgets across sessions — ``load_prepared`` re-registers the
+external table via DDL when absent, so prepared graphs survive restarts.
+
+Personalization is NOT baked: ``v_raw`` is query-time (it depends on
+``v_expr``), computed over the loaded vertex table exactly as the unprepared
+path computes it. The in-link-ratio spam filter IS baked (it is a property
+of the corpus snapshot): pass ``filter_ratio`` here, not to the query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PREPARED_VERSION = 1
+
+
+@dataclass
+class PreparedGraph:
+    base: DataFrame  # (id string, vid long, dang double)
+    edges: DataFrame  # (src long, dst long, w double), bucketed by src
+    n: int  # vertices
+    m: int  # weighted encoded edges
+    buckets: int
+
+
+def _edges_table_name(path: str) -> str:
+    return "prepared_edges_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+
+
+def prepare_graph(
+    spark: SparkSession,
+    edges: DataFrame,
+    path: str,
+    vertices: DataFrame | None = None,
+    buckets: int | None = None,
+    filter_ratio: float | None = None,
+) -> PreparedGraph:
+    """Build and persist the query-independent graph state; returns the
+    loaded PreparedGraph (reading back what was written, so callers hold
+    the exact artifact later sessions will see)."""
+    from pagerank_project_spark.operators.pagerank import (
+        apply_filter_ratio,
+        build_vertices,
+        weighted_edges,
+    )
+    from pagerank_project_spark.operators.vids import assert_endpoints_covered, encode_or_fallback
+
+    buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = build_vertices(edges, vertices)
+    n = verts.count()
+    if n == 0:
+        raise ValueError("empty graph")
+    if vertices is not None:
+        assert_endpoints_covered(edges, verts)
+
+    e = edges.select("src", "dst")
+    if filter_ratio is not None:
+        e = apply_filter_ratio(e, n, filter_ratio)
+    ew_str = weighted_edges(e, n)
+
+    vmap = encode_or_fallback(verts, "id", buckets)
+    dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")
+    base = (
+        vmap.join(dang.select(F.col("id").alias("_d")), vmap.id == F.col("_d"), "left")
+        .select("id", "vid", F.when(F.col("_d").isNotNull(), 1.0).otherwise(0.0).alias("dang"))
+    )
+    ew_enc = (
+        ew_str.join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"), "w")
+    )
+
+    os.makedirs(path, exist_ok=True)
+    base.repartition(buckets, "id").write.mode("overwrite").parquet(f"{path}/vertices")
+
+    tbl = _edges_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        ew_enc.repartition(buckets, "src")  # same hash as the bucket spec → ONE file per bucket
+        .write.format("parquet")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .option("path", f"{path}/edges")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    m = spark.table(tbl).count()
+    manifest = {"version": PREPARED_VERSION, "n": n, "m": m, "buckets": buckets, "table": tbl}
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, f"{path}/manifest.json")  # manifest-last: partial writes are invisible
+    vmap.unpersist()
+    return load_prepared(spark, path)
+
+
+def load_prepared(spark: SparkSession, path: str) -> PreparedGraph:
+    with open(f"{path}/manifest.json") as f:
+        manifest = json.load(f)
+    if manifest.get("version") != PREPARED_VERSION:
+        raise ValueError(f"prepared graph at {path} has version {manifest.get('version')}, "
+                         f"this engine reads {PREPARED_VERSION}")
+    tbl, buckets = manifest["table"], manifest["buckets"]
+    if not spark.catalog.tableExists(tbl):
+        # fresh session: the in-memory catalog forgot the bucket spec —
+        # re-register the external table over the existing files
+        spark.sql(
+            f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT, w DOUBLE) USING PARQUET "
+            f"CLUSTERED BY (src) SORTED BY (src) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/edges'"
+        )
+    return PreparedGraph(
+        base=spark.read.parquet(f"{path}/vertices"),
+        edges=spark.table(tbl),
+        n=manifest["n"],
+        m=manifest["m"],
+        buckets=buckets,
+    )

@@ -180,6 +180,9 @@ def main():
     ap.add_argument("--ops", default="relational,csr,cc,lpa")
     ap.add_argument("--sf_dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip_bench", action="store_true")
+    ap.add_argument("--regen_only", action="store_true",
+                    help="skip the scale runs; rebuild BASELINE.md from the "
+                         "rows already merged into BENCH/scaling.json")
     ap.add_argument("--cc_pin", type=int, default=8_000_000,
                     help="fixed CC skew cutoff (same at both legs -> identical plans); "
                          "above every hub degree = all-window rounds, a sane hub cutoff "
@@ -195,7 +198,7 @@ def main():
             for k, v in json.load(f).items():
                 op_k, nexec_k = k.rsplit("_", 1)
                 scale[(op_k, int(nexec_k))] = v
-    for op in ops:
+    for op in ops if not args.regen_only else []:
         for nexec in (1, 4):
             t0 = time.time()
             scale[(op, nexec)] = run_scale(args.sf, nexec, args.iters, op, cc_pin=args.cc_pin)
@@ -357,7 +360,7 @@ BENCH/arrow_sweep.json, BENCH/local8.json, BENCH/local32.json.
             json.dump(bench[8], f, indent=2)
         with open("/root/repo/BENCH/local32.json", "w") as f:
             json.dump(bench[32], f, indent=2)
-    print("efficiency: " + " ".join(f"{op}={eff(op):.2f}" for op in ops) + " → BENCH/BASELINE.md")
+    print("efficiency: " + " ".join(f"{op}={eff(op):.2f}" for op in all_ops) + " → BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
