@@ -31,13 +31,17 @@ from pagerank_project_spark.datagen import ensure_fixture
 from pagerank_project_spark.operators.extract import vertices_from_files
 
 sf = float(sys.argv[1]); iters = int(sys.argv[2]); batch = int(sys.argv[3])
-import shutil
-shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
+import atexit, shutil, tempfile
+# UNIQUE tmpfs dir per run: a fixed path + rmtree deletes the live worker
+# dirs of any concurrently-running local-cluster job (observed: both jobs'
+# executors die with rejected-RPC noise)
+_ldir = tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
+atexit.register(lambda: shutil.rmtree(_ldir, ignore_errors=True))
 spark = (SparkSession.builder.master("local-cluster[1,4,13312]")
          .appName(f"arrow-sweep-{batch}")
          # tmpfs shuffle dir, same as tools/bench_scaling.py, so the sweep's
          # sec/iter is directly comparable to BENCH/scaling_sf16.json csr_1
-         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.local.dir", _ldir)
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.executor.memory", "12g")
          .config("spark.driver.memory", "8g")

@@ -38,8 +38,11 @@ tot = nexec * cores_per
 # REAL separate executor JVMs (spark standalone local-cluster): the faithful
 # sandbox stand-in for an N- vs 4N-executor cluster — per-executor GC and
 # cross-JVM shuffle, unlike local[N] threads sharing one heap.
-import shutil
-shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
+import atexit, shutil, tempfile
+# UNIQUE tmpfs dir per run (a fixed path + rmtree kills any concurrent
+# local-cluster job's live worker dirs)
+_ldir = tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
+atexit.register(lambda: shutil.rmtree(_ldir, ignore_errors=True))
 spark = (SparkSession.builder.master(f"local-cluster[{nexec},{cores_per},13312]")
          .appName(f"scale-{op}-{nexec}x{cores_per}")
          # tmpfs shuffle dirs: all executor JVMs on one box share ONE
@@ -48,7 +51,7 @@ spark = (SparkSession.builder.master(f"local-cluster[{nexec},{cores_per},13312]"
          # shared spindle caps it artificially. RAM-backed local dirs
          # model per-node disks (each node of a real cluster brings its
          # own); documented in BENCH/BASELINE.md.
-         .config("spark.local.dir", "/dev/shm/spark-local")
+         .config("spark.local.dir", _ldir)
          .config("spark.sql.shuffle.partitions", str(tot))
          .config("spark.executor.memory", "12g")
          .config("spark.driver.memory", "8g")
@@ -94,6 +97,32 @@ if op in ("relational", "csr"):
     med = steady[len(steady) // 2]
     out.update({"iters": res.iterations, "wall_sec": round(dt, 2), "setup_sec": res.setup_sec,
                 "iter_secs": res.iter_secs, "sec_per_iter": med,
+                "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op == "prepared":
+    # "prepare once, query many": the bucketed prepared graph (built once
+    # per leg bucket-count, reused by later invocations) replaces the
+    # per-run encode/weight/partition setup; the loop itself is identical.
+    import os
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.plans.prepared_graph import load_prepared, prepare_graph
+
+    pdir = f"{fix}/prepared_{tot}b"
+    prep_sec = None
+    if not os.path.exists(f"{pdir}/manifest.json"):
+        tp = time.time()
+        prepare_graph(spark, edges, pdir, vertices=verts, buckets=tot)
+        prep_sec = round(time.time() - tp, 2)
+    pg = load_prepared(spark, pdir)
+    cfg = PageRankConfig(mode="standard", epsilon=0.0, max_iterations=iters,
+                         convergence="l1_delta", strategy="relational",
+                         num_partitions=pg.buckets)
+    t0 = time.time()
+    res = pagerank(spark, cfg=cfg, prepared=pg)
+    dt = time.time() - t0
+    steady = sorted(res.iter_secs[2:])
+    med = steady[len(steady) // 2]
+    out.update({"iters": res.iterations, "wall_sec": round(dt, 2), "setup_sec": res.setup_sec,
+                "prepare_once_sec": prep_sec, "iter_secs": res.iter_secs, "sec_per_iter": med,
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op == "cc":
     from pagerank_project_spark.operators.components import connected_components
@@ -167,6 +196,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 OP_LABEL = {
     "relational": "PageRank relational (join+groupBy-sum)",
+    "prepared": "PageRank relational from PREPARED graph (bucketed edges, zero-exchange)",
     "csr": "PageRank CSR pandas-UDF (salted)",
     "cc": "Connected components (star contraction, to convergence)",
     "lpa": "Label propagation (4 sync iterations)",
