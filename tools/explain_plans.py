@@ -104,6 +104,41 @@ duplicates), saving one full shuffle per round.""",
         fmt(round_df),
     ))
 
+    # --- 4. prepared-graph superstep: bucketed edge scan, zero exchange ----
+    import shutil
+    import tempfile
+
+    from pagerank_project_spark.plans.prepared_graph import prepare_graph
+
+    pdir = tempfile.mkdtemp(prefix="plans-prepared-")
+    try:
+        small = (
+            spark.range(0, 5_000)
+            .select(
+                F.concat(F.lit("u"), (F.col("id") % 1_000).cast("string")).alias("src"),
+                F.concat(F.lit("u"), ((F.col("id") * 13) % 1_000).cast("string")).alias("dst"),
+            )
+        )
+        pg = prepare_graph(spark, small, pdir, buckets=8)
+        prank = (
+            pg.edges.groupBy("src").agg(F.sum("w").alias("s"))  # src-keyed consumer
+        )
+        sections.append((
+            "Prepared graph: src-keyed operator over the bucketed edge table",
+            """What to verify: NO `Exchange` anywhere — the bucketed
+`FileScan`'s `SelectedBucketsCount` / `Bucketed: true` partitioning
+(HashPartitioning(src, 8), written one file per bucket) satisfies the
+aggregation's distribution directly. In-run setup pays a full
+repartition shuffle for the same property; the prepared table pays it
+once at prepare time, for every later query and session.""",
+            fmt(prank),
+        ))
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("prepared_edges_"):
+                spark.sql(f"DROP TABLE {t.name}")
+        shutil.rmtree(pdir, ignore_errors=True)
+
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plans of the hot paths (generated by tools/explain_plans.py)\n\n"
