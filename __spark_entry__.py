@@ -479,6 +479,28 @@ def q_docs_lang_sample(spark, sf_dir):
     return kept.select("doc_id", "lang_pred")
 
 
+def q_token_quantiles(spark, sf_dir):
+    """Per-language exact token-count quantiles — corpus length profiling
+    (the stats a pipeline reads before picking truncation/packing lengths).
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition, bit-for-bit, so the oracle is exact. The scale
+    note: exact percentile shuffles each group's values to one reducer —
+    per-LANGUAGE groups are few and bounded, which is what makes exact
+    affordable here; for per-document-key quantiles use approx_percentile."""
+    from pagerank_project_spark.operators.textstats import lang_id, token_count
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id(F.col("text")).alias("lang_pred"), token_count(F.col("text")).alias("nt"))
+        .groupBy("lang_pred")
+        .agg(
+            F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(nt, 0.9)"), 6).alias("p90_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-derived operator families (SURVEY.md §2)
@@ -517,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "events_sessions": q_events_sessions,
         "docs_lang_sample": q_docs_lang_sample,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -764,6 +787,34 @@ WITH base AS (
 SELECT doc_id, lang_pred FROM lp
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'), 1, 8) AS BIGINT) % 100
       < CASE lang_pred {rate_case} ELSE {SAMPLE_DEFAULT_PCT} END
+"""
+
+
+def _token_quantiles_sql() -> str:
+    from pagerank_project_spark.operators.textstats import STOPWORDS
+
+    def sw(lang):
+        return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+    hits = {lang: f"len(regexp_extract_all(lower(text), '{sw(lang)}'))" for lang in sorted(STOPWORDS)}
+    return f"""
+WITH base AS (
+  SELECT len(str_split_regex(trim(text), '\\s+'))::BIGINT AS nt,
+    {hits["de"]} AS h_de, {hits["en"]} AS h_en, {hits["es"]} AS h_es, {hits["fr"]} AS h_fr
+  FROM documents
+), lp AS (
+  SELECT nt,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM base
+)
+SELECT lang_pred, ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       COUNT(*)::BIGINT AS n_docs
+FROM lp GROUP BY lang_pred
 """
 
 
@@ -1019,6 +1070,7 @@ FROM z GROUP BY doc_id
         "dedup_clusters": _dedup_clusters_sql(0.2),
         "events_sessions": _events_sessions_sql(30),
         "docs_lang_sample": _docs_lang_sample_sql(),
+        "token_quantiles": _token_quantiles_sql(),
         **_code_oracles(),
     }
 

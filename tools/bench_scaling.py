@@ -371,6 +371,19 @@ path (no task buffers a hub's whole neighbor multiset — and star
 contraction CREATES a degree-|C| hub per component by design, so this
 path is what a converged web-scale run actually exercises).
 
+PREPARED GRAPH (round 3, "prepare once, query many"): the
+query-independent build — vid encode joins, out-degree weights,
+dangling flags, repartition-by-src + per-partition sort — is identical
+for every query over a corpus and dominates single-run setup. The
+`prepared` rows run the SAME relational loop from
+`plans/prepared_graph.py` state: edges live in a bucketed,
+per-bucket-sorted table whose scan reports HashPartitioning(src, n), so
+the per-query setup collapses to a scan+persist (zero edge-side
+exchange — physical-plan evidence in docs/PLANS.md §4) and the one-time
+prepare cost is reported separately (`prepare_once_sec` in
+scaling.json). Ranks are bitwise-identical to the unprepared path
+(pytest-pinned).
+
 CC whole-run efficiency is size-dependent in the way Amdahl predicts:
 0.719 at sf16 (75 s whole run at 4×4 — estimate jobs, driver tail and
 codegen warmup are parallelism-invariant ~12 s) vs 0.82 at sf32 (2× the
