@@ -142,13 +142,13 @@ def q_cc_iter5(spark, sf_dir):
     return res.labels.select("id", "component")
 
 
-def q_triangle_count(spark, sf_dir):
-    from pagerank_project_spark.operators.triangles import triangle_count
-
+def _supplier_pairs(spark, sf_dir):
+    """Supplier co-occurrence graph (two suppliers linked iff they share an
+    order) — the triangle/clustering fixture."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    return (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
         .select(
@@ -157,8 +157,35 @@ def q_triangle_count(spark, sf_dir):
         )
         .distinct()
     )
-    res = triangle_count(spark, pairs)
+
+
+def q_triangle_count(spark, sf_dir):
+    from pagerank_project_spark.operators.triangles import triangle_count
+
+    res = triangle_count(spark, _supplier_pairs(spark, sf_dir))
     return spark.createDataFrame([(res.total,)], "n_triangles long")
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient on the supplier co-occurrence
+    graph. The coefficient is an exact integer ratio evaluated once in
+    float64 (no summation-order sensitivity), so Spark and DuckDB agree
+    bitwise before the defensive round."""
+    from pagerank_project_spark.operators.triangles import clustering_coefficient
+
+    out = clustering_coefficient(spark, _supplier_pairs(spark, sf_dir))
+    return out.select("id", F.round("coeff", 6).alias("coeff"))
+
+
+def q_hits_k3(spark, sf_dir):
+    """Fixed-3-iteration HITS over the customer→supplier link graph —
+    unrolled-SQL-oracle-checkable (same fixture as pagerank_k3)."""
+    from pagerank_project_spark.operators.hits import hits
+
+    res = hits(spark, _cs_edges(spark, sf_dir), iterations=3)
+    return res.scores.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
 
 
 def q_search_topk(spark, sf_dir):
@@ -510,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3_personalized": q_pagerank_k3_personalized,
         "cc_iter5": q_cc_iter5,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
+        "hits_k3": q_hits_k3,
         "search_topk": q_search_topk,
         # training-data pipeline suite
         "dedup_exact": q_dedup_exact,
@@ -583,6 +612,70 @@ raw{k} AS (
 {c} AS (SELECT id, x / (SELECT SUM(abs(x)) FROM raw{k}) AS x FROM raw{k})
 """
     return head + body + "\nSELECT id, ROUND(x, 6) AS rank FROM x3"
+
+
+def _hits_k3_sql(k: int = 3) -> str:
+    """Unrolled fixed-k HITS (operators/hits.py dataflow verbatim): per
+    iteration one gather+L2-normalize per side over the DEDUPED edge set.
+    Sparse-vs-dense is immaterial — absent vertices are exact zeros for
+    both the norm and the next gather."""
+    head = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({CS_EDGES_SQL})),
+v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS s FROM v)
+"""
+    body = ""
+    for i in range(k):
+        body += f""",
+ar{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.s) AS x FROM e JOIN h{i} h ON e.src = h.id GROUP BY e.dst),
+a{i + 1} AS MATERIALIZED (
+  SELECT v.id, COALESCE(ar.x, 0) / greatest((SELECT sqrt(SUM(x*x)) FROM ar{i}), 1e-300) AS s
+  FROM v LEFT JOIN ar{i} ar ON v.id = ar.id
+),
+hr{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.s) AS x FROM e JOIN a{i + 1} a ON e.dst = a.id GROUP BY e.src),
+h{i + 1} AS MATERIALIZED (
+  SELECT v.id, COALESCE(hr.x, 0) / greatest((SELECT sqrt(SUM(x*x)) FROM hr{i}), 1e-300) AS s
+  FROM v LEFT JOIN hr{i} hr ON v.id = hr.id
+)
+"""
+    return (
+        head
+        + body
+        + f"\nSELECT a.id, ROUND(a.s, 6) AS auth, ROUND(h.s, 6) AS hub "
+        f"FROM a{k} a JOIN h{k} h USING (id)"
+    )
+
+
+SUPPLIER_PAIRS_SQL = """
+  SELECT DISTINCT 's' || a.l_suppkey AS src, 's' || b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+def _clustering_coeff_sql() -> str:
+    """Per-vertex triangles (3-clique join, orientation-invariant count)
+    + distinct-neighbor degree → exact-ratio coefficient, mirroring
+    operators/triangles.clustering_coefficient bit-for-bit."""
+    return f"""
+WITH pairs AS MATERIALIZED ({SUPPLIER_PAIRS_SQL}),
+und AS MATERIALIZED (SELECT src AS s1, dst AS s2 FROM pairs UNION SELECT dst, src FROM pairs),
+deg AS (SELECT s1 AS id, COUNT(*)::BIGINT AS d FROM und GROUP BY s1),
+canon AS MATERIALIZED (SELECT s1, s2 FROM und WHERE s1 < s2),
+tri AS (
+  SELECT ab.s1 AS a, ab.s2 AS b, ac.s2 AS c
+  FROM canon ab JOIN canon ac ON ab.s1 = ac.s1 AND ab.s2 < ac.s2
+  JOIN canon bc ON bc.s1 = ab.s2 AND bc.s2 = ac.s2
+),
+pv AS (
+  SELECT id, COUNT(*)::BIGINT AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+)
+SELECT deg.id,
+       ROUND(CASE WHEN d >= 2 THEN 2.0*COALESCE(t, 0)/(d*(d-1.0)) ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN pv USING (id)
+"""
 
 
 def _cc_prop_body(e_sql: str | None, v_sql: str | None, rounds: int) -> str:
@@ -1067,6 +1160,8 @@ SELECT doc_id,
        ROUND(SUM(CASE WHEN sb_next IS NOT NULL AND sb <> sb_next THEN 1 ELSE 0 END)/31.0, 6) AS zcr
 FROM z GROUP BY doc_id
 """,
+        "clustering_coeff": _clustering_coeff_sql(),
+        "hits_k3": _hits_k3_sql(),
         "dedup_clusters": _dedup_clusters_sql(0.2),
         "events_sessions": _events_sessions_sql(30),
         "docs_lang_sample": _docs_lang_sample_sql(),

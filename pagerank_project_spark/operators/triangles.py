@@ -80,3 +80,30 @@ def triangle_count(
     )
     o.unpersist()
     return TriangleResult(total=total, per_vertex=per_vertex)
+
+
+def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the symmetrized graph:
+    coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, else 0, one row
+    per NON-ISOLATED vertex (deg over distinct neighbors, self-loops
+    dropped — `undirected_edges` semantics, same as the triangle count).
+
+    Exactly the triangle pipeline plus one degree groupBy and a left join;
+    the arithmetic is a single exact-integer-ratio division in float64, so
+    results are bit-deterministic (no summation-order sensitivity) and
+    DuckDB reproduces them bitwise (__spark_entry__ `clustering_coeff`)."""
+    tr = triangle_count(spark, edges)
+    deg = (
+        undirected_edges(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.join(tr.per_vertex, "id", "left").select(
+        "id",
+        F.when(
+            F.col("d") >= 2,
+            2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / (F.col("d") * (F.col("d") - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

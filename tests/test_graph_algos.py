@@ -131,3 +131,75 @@ def test_synthetic_lpa_matches_oracle(spark, synth):
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     exp = lpa_oracle(vids, list(epd.itertuples(index=False)), 4)
     assert got == exp
+
+
+# --- HITS + clustering coefficient (round 3) ---------------------------------
+
+def hits_oracle(vertex_ids, directed_edges, iterations):
+    """Numpy replica of operators/hits.py: dedup edges, per iteration one
+    auth gather + L2 normalize then one hub gather + L2 normalize."""
+    import numpy as np
+
+    ids = sorted(set(vertex_ids))
+    idx = {v: i for i, v in enumerate(ids)}
+    dedup = {(s, t) for s, t in directed_edges}
+    si = np.array([idx[s] for s, _ in dedup], dtype=np.int64)
+    ti = np.array([idx[t] for _, t in dedup], dtype=np.int64)
+    hub = np.ones(len(ids))
+    auth = np.zeros(len(ids))
+    for _ in range(iterations):
+        auth = np.zeros(len(ids))
+        np.add.at(auth, ti, hub[si])
+        auth /= np.sqrt((auth ** 2).sum()) or 1.0
+        hub = np.zeros(len(ids))
+        np.add.at(hub, si, auth[ti])
+        hub /= np.sqrt((hub ** 2).sum()) or 1.0
+    return {v: (auth[idx[v]], hub[idx[v]]) for v in ids}
+
+
+def test_hits_small_graph(spark, small_rows):
+    from pagerank_project_spark.operators.hits import hits
+
+    res = hits(spark, edges_df(spark, small_rows), iterations=3)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    exp = hits_oracle(
+        {v for e in small_rows for v in e}, small_rows, 3
+    )
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v][0] == pytest.approx(exp[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(exp[v][1], abs=1e-12)
+
+
+def test_hits_rejects_zero_iterations(spark, small_rows):
+    from pagerank_project_spark.operators.hits import hits
+
+    with pytest.raises(ValueError):
+        hits(spark, edges_df(spark, small_rows), iterations=0)
+
+
+def test_synthetic_hits_matches_oracle(spark, synth):
+    from pagerank_project_spark.operators.hits import hits
+
+    edges, verts, epd, vids = synth
+    res = hits(spark, edges, vertices=verts, iterations=3)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    exp = hits_oracle(vids, list(epd.itertuples(index=False)), 3)
+    assert set(got) == set(exp)
+    for v in exp:
+        # fp summation order differs between partitions and the replica
+        assert got[v][0] == pytest.approx(exp[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(exp[v][1], abs=1e-9)
+
+
+def test_synthetic_clustering_matches_networkx(spark, synth):
+    from pagerank_project_spark.operators.triangles import clustering_coefficient
+
+    edges, verts, epd, vids = synth
+    g = nx.Graph()
+    g.add_edges_from((s, t) for s, t in epd.itertuples(index=False) if s != t)
+    exp = nx.clustering(g)
+    got = {r["id"]: r["coeff"] for r in clustering_coefficient(spark, edges).collect()}
+    assert set(got) == set(exp)  # one row per non-isolated vertex
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
