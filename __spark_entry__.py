@@ -219,6 +219,14 @@ def q_text_profile(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document; scores rounded before ranking in
+    both engines so ulp-level ln() differences can't flip the k-th spot."""
+    from pagerank_project_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_lang_histogram(spark, sf_dir):
     from pagerank_project_spark.operators.textstats import lang_id
 
@@ -543,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline suite
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
+        "tfidf_topk": q_tfidf_topk,
         "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1159,6 +1168,22 @@ SELECT doc_id,
        ROUND(sqrt((SUM(CAST(s16 AS DOUBLE)*s16)/1073741824.0)/32.0), 6) AS rms,
        ROUND(SUM(CASE WHEN sb_next IS NOT NULL AND sb <> sb_next THEN 1 ELSE 0 END)/31.0, 6) AS zcr
 FROM z GROUP BY doc_id
+""",
+        "tfidf_topk": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((SELECT n FROM nd) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored
+)
+SELECT doc_id, term, tfidf, rnk::INT AS rnk FROM ranked WHERE rnk <= 5
 """,
         "clustering_coeff": _clustering_coeff_sql(),
         "hits_k3": _hits_k3_sql(),

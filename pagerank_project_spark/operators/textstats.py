@@ -100,3 +100,43 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic sparse
+    feature-extraction step of a training-data pipeline.
+
+    tokenize (lowercase ``[a-z0-9]+`` runs) → tf = per-(doc, term) count →
+    df = per-term doc frequency → score = tf · ln(N/df) → per-doc top-k.
+    Output (doc_id, term, tfidf, rnk), rnk 1..k.
+
+    Scale shape: tf and df are map-side-combined groupBys (the df groupBy
+    keys on term — hot common terms are a count agg, combiner-friendly,
+    never a row buffer); tf⋈df is a shuffle join on term (df is |vocab|
+    rows — NOT broadcast: web-scale vocab outgrows any broadcast budget);
+    the per-doc top-k window partitions on doc_id where row counts are
+    bounded by document length, so no skew hazard. Everything is pure
+    Catalyst — zero Python in the hot path.
+
+    Determinism across engines: the score is ROUNDED to 6 decimals BEFORE
+    ranking in both this plan and the DuckDB oracle, so 1-ulp ln()
+    differences (JVM vs libm) can't flip the selected set; rounded ties
+    break on term ascending."""
+    from pyspark.sql import Window
+
+    n_docs = float(docs.count())
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

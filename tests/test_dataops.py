@@ -213,6 +213,37 @@ def test_text_profile_oracle(spark):
     assert 0.0 <= out[1]["quality"] <= 1.0
 
 
+def test_tfidf_topk_matches_python_oracle(spark):
+    import math
+    import re
+    from collections import Counter
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana cherry cherry dog",
+        3: "dog egg egg egg apple",
+        4: "   ",  # tokenless doc: no output rows, but counts toward N
+    }
+    rows = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = textstats.tfidf_topk(spark.createDataFrame(rows), k=2).collect()
+
+    tok = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in texts.items()}
+    tfs = {d: Counter(ts) for d, ts in tok.items()}
+    dfs = Counter(term for c in tfs.values() for term in c)
+    n = float(len(texts))
+    exp = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / dfs[t]), 6), t) for t, tf in c.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for i, (s, t) in enumerate(scored[:2], start=1):
+            exp[(d, t)] = (s, i)
+    got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rnk"]) for r in out}
+    assert got == exp
+    assert not any(d == 4 for d, _ in got)  # empty doc emits nothing
+
+
 def test_fingerprint_whitespace_invariant(spark):
     a = spark.range(1).select(textstats.fingerprint(F.lit("Hello,  World!")).alias("f")).first()["f"]
     b = spark.range(1).select(textstats.fingerprint(F.lit("hello world")).alias("f")).first()["f"]
