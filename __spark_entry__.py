@@ -188,6 +188,14 @@ def q_hits_k3(spark, sf_dir):
     )
 
 
+def q_kcore_iter4(spark, sf_dir):
+    """Exactly 4 h-index supersteps of k-core decomposition — all-integer
+    dataflow, so the unrolled DuckDB oracle matches exactly."""
+    from pagerank_project_spark.operators.kcore import kcore_fixed
+
+    return kcore_fixed(spark, _cs_edges(spark, sf_dir), iterations=4)
+
+
 def q_search_topk(spark, sf_dir):
     from pagerank_project_spark.functions.query import search
 
@@ -547,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "hits_k3": q_hits_k3,
+        "kcore_iter4": q_kcore_iter4,
         "search_topk": q_search_topk,
         # training-data pipeline suite
         "dedup_exact": q_dedup_exact,
@@ -653,6 +662,26 @@ h{i + 1} AS MATERIALIZED (
         + f"\nSELECT a.id, ROUND(a.s, 6) AS auth, ROUND(h.s, 6) AS hub "
         f"FROM a{k} a JOIN h{k} h USING (id)"
     )
+
+
+def _kcore_sql(rounds: int = 4) -> str:
+    """Unrolled h-index k-core supersteps (operators/kcore.py dataflow):
+    per round gather neighbor values, histogram per (v, value), cumulative
+    ≥-count, H = max(min(value, ge)). All integers — exact match."""
+    head = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({CS_EDGES_SQL}) WHERE src <> dst),
+und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core FROM und GROUP BY src)
+"""
+    body = ""
+    for t in range(rounds):
+        body += f""",
+j{t} AS MATERIALIZED (SELECT u.src AS v, x.core AS cu FROM und u JOIN c{t} x ON u.dst = x.id),
+g{t} AS MATERIALIZED (SELECT v, cu, COUNT(*)::BIGINT AS n FROM j{t} GROUP BY v, cu),
+w{t} AS MATERIALIZED (SELECT v, cu, SUM(n) OVER (PARTITION BY v ORDER BY cu DESC) AS ge FROM g{t}),
+c{t + 1} AS MATERIALIZED (SELECT v AS id, MAX(LEAST(cu, ge))::BIGINT AS core FROM w{t} GROUP BY v)
+"""
+    return head + body + f"\nSELECT id, core FROM c{rounds}"
 
 
 SUPPLIER_PAIRS_SQL = """
@@ -1187,6 +1216,7 @@ SELECT doc_id, term, tfidf, rnk::INT AS rnk FROM ranked WHERE rnk <= 5
 """,
         "clustering_coeff": _clustering_coeff_sql(),
         "hits_k3": _hits_k3_sql(),
+        "kcore_iter4": _kcore_sql(4),
         "dedup_clusters": _dedup_clusters_sql(0.2),
         "events_sessions": _events_sessions_sql(30),
         "docs_lang_sample": _docs_lang_sample_sql(),

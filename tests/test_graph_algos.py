@@ -203,3 +203,29 @@ def test_synthetic_clustering_matches_networkx(spark, synth):
     assert set(got) == set(exp)  # one row per non-isolated vertex
     for v in exp:
         assert got[v] == pytest.approx(exp[v], abs=1e-12)
+
+
+def test_kcore_known_small_graph(spark):
+    from pagerank_project_spark.operators.kcore import kcore
+
+    # 4-clique {a,b,c,d} (coreness 3) with a tail d-e-f (coreness 1)
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    res = kcore(spark, edges_df(spark, clique + tail))
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    assert res.converged
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+
+
+def test_synthetic_kcore_matches_networkx(spark, synth):
+    from pagerank_project_spark.operators.kcore import kcore
+
+    edges, verts, epd, vids = synth
+    g = nx.Graph()
+    g.add_nodes_from(vids)
+    g.add_edges_from((s, t) for s, t in epd.itertuples(index=False) if s != t)
+    exp = nx.core_number(g)
+    res = kcore(spark, edges, vertices=verts)
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    assert res.converged
+    assert got == exp
