@@ -33,7 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sum_weight", type=float, default=0.03)
     p.add_argument("--verbose", action="store_true")
     # engine knobs
-    p.add_argument("--algorithm", default="pagerank", choices=["pagerank", "cc", "lpa", "triangles"])
+    p.add_argument(
+        "--algorithm",
+        default="pagerank",
+        choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering"],
+    )
     p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
     p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
     p.add_argument("--num_partitions", type=int, default=None)
@@ -145,6 +149,24 @@ def main(argv: list[str] | None = None) -> int:
         res = label_propagation(spark, edges, vertices=vertices,
                                 iterations=args.lpa_iterations, checkpoint_store=store)
         out = res.labels
+    elif args.algorithm == "hits":
+        from pagerank_project_spark.operators.hits import hits
+
+        res = hits(spark, edges, vertices=vertices, iterations=args.power)
+        out = res.scores
+        if not args.output:
+            for r in out.orderBy(F.desc("auth"), F.asc("id")).limit(args.max_results).collect():
+                print(f"auth={r['auth']:.4e} hub={r['hub']:.4e} url={r['id']}")
+    elif args.algorithm == "kcore":
+        from pagerank_project_spark.operators.kcore import kcore
+
+        res = kcore(spark, edges, vertices=vertices, max_iterations=args.max_iterations)
+        out = res.cores
+        print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
+    elif args.algorithm == "clustering":
+        from pagerank_project_spark.operators.triangles import clustering_coefficient
+
+        out = clustering_coefficient(spark, edges)
     else:
         from pagerank_project_spark.operators.triangles import triangle_count
 
