@@ -188,6 +188,17 @@ def q_hits_k3(spark, sf_dir):
     )
 
 
+def q_link_pred_topk(spark, sf_dir):
+    """Top-50 predicted links (Adamic-Adar) on the bipartite
+    customer→supplier graph — candidates are same-side pairs sharing
+    counterparties (the co-purchase signal); AA rounded before ranking in
+    both engines. (The supplier co-occurrence graph is near-complete at
+    small SF — no non-adjacent pairs to predict.)"""
+    from pagerank_project_spark.operators.linkpred import link_prediction_topk
+
+    return link_prediction_topk(spark, _cs_edges(spark, sf_dir), k=50)
+
+
 def q_kcore_iter4(spark, sf_dir):
     """Exactly 4 h-index supersteps of k-core decomposition — all-integer
     dataflow, so the unrolled DuckDB oracle matches exactly."""
@@ -556,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "hits_k3": q_hits_k3,
         "kcore_iter4": q_kcore_iter4,
+        "link_pred_topk": q_link_pred_topk,
         "search_topk": q_search_topk,
         # training-data pipeline suite
         "dedup_exact": q_dedup_exact,
@@ -688,6 +700,35 @@ SUPPLIER_PAIRS_SQL = """
   SELECT DISTINCT 's' || a.l_suppkey AS src, 's' || b.l_suppkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+def _link_pred_sql(k: int = 50) -> str:
+    """operators/linkpred.py dataflow verbatim: wedge join → per-pair agg
+    (AA rounded inside the agg) → anti-join existing edges → Jaccard →
+    deterministic top-k."""
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({CS_EDGES_SQL}) WHERE src <> dst),
+und AS MATERIALIZED (SELECT src AS s, dst AS d FROM pairs UNION SELECT dst, src FROM pairs),
+deg AS MATERIALIZED (SELECT s, COUNT(*)::BIGINT AS deg FROM und GROUP BY s),
+wed AS (
+  SELECT a.d AS u, b.d AS v, 1.0/ln(dg.deg) AS aa_w
+  FROM und a JOIN und b ON a.s = b.s AND a.d < b.d
+  JOIN deg dg ON dg.s = a.s
+),
+sc AS (
+  SELECT u, v, COUNT(*)::BIGINT AS common, ROUND(SUM(aa_w), 6) AS adamic_adar
+  FROM wed GROUP BY u, v
+),
+cand AS (
+  SELECT sc.* FROM sc
+  LEFT JOIN (SELECT s, d FROM und WHERE s < d) ex ON ex.s = sc.u AND ex.d = sc.v
+  WHERE ex.s IS NULL
+)
+SELECT cand.u AS src, cand.v AS dst, common, adamic_adar,
+       ROUND(common::DOUBLE/(du.deg + dv.deg - common), 6) AS jaccard
+FROM cand JOIN deg du ON du.s = cand.u JOIN deg dv ON dv.s = cand.v
+ORDER BY adamic_adar DESC, src, dst LIMIT {k}
 """
 
 
@@ -1217,6 +1258,7 @@ SELECT doc_id, term, tfidf, rnk::INT AS rnk FROM ranked WHERE rnk <= 5
         "clustering_coeff": _clustering_coeff_sql(),
         "hits_k3": _hits_k3_sql(),
         "kcore_iter4": _kcore_sql(4),
+        "link_pred_topk": _link_pred_sql(50),
         "dedup_clusters": _dedup_clusters_sql(0.2),
         "events_sessions": _events_sessions_sql(30),
         "docs_lang_sample": _docs_lang_sample_sql(),

@@ -229,3 +229,36 @@ def test_synthetic_kcore_matches_networkx(spark, synth):
     got = {r["id"]: r["core"] for r in res.cores.collect()}
     assert res.converged
     assert got == exp
+
+
+def test_linkpred_matches_networkx(spark, synth):
+    from pagerank_project_spark.operators.linkpred import link_prediction_topk
+
+    edges, verts, epd, vids = synth
+    out = link_prediction_topk(spark, edges, k=30).collect()
+    assert out, "fixture should yield distance-2 candidates"
+    g = nx.Graph()
+    g.add_edges_from((s, t) for s, t in epd.itertuples(index=False) if s != t)
+    pairs = [(r["src"], r["dst"]) for r in out]
+    nx_aa = {(u, v): s for u, v, s in nx.adamic_adar_index(g, pairs)}
+    nx_jc = {(u, v): s for u, v, s in nx.jaccard_coefficient(g, pairs)}
+    for r in out:
+        key = (r["src"], r["dst"])
+        assert r["src"] < r["dst"]
+        assert not g.has_edge(*key)  # predictions are non-edges
+        assert r["adamic_adar"] == pytest.approx(nx_aa[key], abs=1e-6)
+        assert r["jaccard"] == pytest.approx(nx_jc[key], abs=1e-6)
+        assert r["common"] == len(list(nx.common_neighbors(g, *key)))
+    # top-k really is the global maximum AA over ALL candidate pairs
+    all_cand = [
+        (u, v) for u, v in
+        ((min(a, b), max(a, b)) for a in g for b in g if a < b and not g.has_edge(a, b))
+        if any(True for _ in nx.common_neighbors(g, u, v))
+    ] if g.number_of_nodes() <= 400 else None
+    if all_cand is not None:
+        best = sorted(
+            ((round(s, 6), u, v) for u, v, s in nx.adamic_adar_index(g, all_cand)),
+            key=lambda p: (-p[0], p[1], p[2]),
+        )[: len(out)]
+        got = [(r["adamic_adar"], r["src"], r["dst"]) for r in out]
+        assert got == best
