@@ -74,8 +74,12 @@ def kcore(
     from pagerank_project_spark.operators.pagerank import build_vertices
 
     verts = build_vertices(edges, vertices)
-    und = undirected_edges(edges).persist()
-    und.count()  # materialize the loop-invariant symmetric edge cache
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pre-partition the loop-invariant symmetric edge cache on the gather
+    # key: every iteration's join then reads the cache partitioning
+    # directly — zero edge-side Exchange inside the loop (docs/PLANS.md §5)
+    und = undirected_edges(edges).repartition(nparts, "dst").persist()
+    und.count()
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -111,7 +115,8 @@ def kcore(
 def kcore_fixed(spark: SparkSession, edges: DataFrame, iterations: int) -> DataFrame:
     """Exactly ``iterations`` h-index supersteps (no convergence test) —
     the oracle-comparable fixed-k twin, mirroring `kcore`'s dataflow."""
-    und = undirected_edges(edges).persist()
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_edges(edges).repartition(nparts, "dst").persist()
     und.count()
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

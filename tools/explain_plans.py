@@ -139,6 +139,54 @@ once at prepare time, for every later query and session.""",
                 spark.sql(f"DROP TABLE {t.name}")
         shutil.rmtree(pdir, ignore_errors=True)
 
+    # --- 5. k-core h-index superstep (skew-safe histogram H) ---------------
+    from pagerank_project_spark.operators.kcore import _h_step
+
+    und = (
+        spark.range(0, 40_000)
+        .select(
+            F.concat(F.lit("v"), (F.col("id") % 5_000).cast("string")).alias("src"),
+            F.concat(F.lit("v"), ((F.col("id") * 11) % 5_000).cast("string")).alias("dst"),
+        )
+        .repartition(8, "dst")  # as kcore() caches it: gather-key partitioned
+        .persist()
+    )
+    und.count()
+    c0 = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core")).localCheckpoint(eager=False)
+    c0.count()
+    sections.append((
+        "k-core h-index superstep (skew-safe histogram H)",
+        """What to verify: the gather join is a `ShuffledHashJoin` (hint —
+no sort of the edge multiset) and the edge side has NO `Exchange` above
+its `InMemoryTableScan` — the cache is pre-partitioned on the gather key
+once, outside the loop; the (v, value) histogram groupBy shows a
+partial `HashAggregate` BELOW its `Exchange` (map-side combined — a hub
+emits at most one partial row per task per distinct value, never its
+neighbor multiset); the `Window` runs after one hash exchange on v over
+histogram rows (≤ degeneracy per vertex), not over raw edges.""",
+        fmt(_h_step(und, c0)),
+    ))
+
+    # --- 6. link-prediction wedge top-k -------------------------------------
+    from pagerank_project_spark.operators.linkpred import link_prediction_topk
+
+    lp_edges = (
+        spark.range(0, 20_000)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % 2_000).cast("string")).alias("src"),
+            F.concat(F.lit("s"), ((F.col("id") * 3) % 200).cast("string")).alias("dst"),
+        )
+    )
+    sections.append((
+        "Link prediction: wedge join → per-pair agg → anti-join → top-k",
+        """What to verify: the per-(u, v) aggregation has a partial
+`HashAggregate` below its `Exchange`; existing edges fall out via a
+(broadcast- or shuffled-)hash LEFT ANTI join, and the global top-k is
+`TakeOrderedAndProject` — bounded per-partition heaps, never a
+single-task full sort of the candidate set.""",
+        fmt(link_prediction_topk(spark, lp_edges, k=50)),
+    ))
+
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plans of the hot paths (generated by tools/explain_plans.py)\n\n"
