@@ -126,6 +126,10 @@ def main() -> None:
     with timed("triangle_count"):
         tri = triangle_count(spark, edges)
     extra["n_triangles"] = tri.total
+    with timed("hits_3it"):
+        from pagerank_project_spark.operators.hits import hits
+
+        hits(spark, edges, vertices=verts, iterations=3).scores.count()
 
     # --- driver-table operator families ------------------------------------
     with timed("tpch_degree_distribution"):
@@ -149,6 +153,10 @@ def main() -> None:
         q_events_sessions(spark, sf_dir).count()
     with timed("docs_lang_sample"):
         q_docs_lang_sample(spark, sf_dir).count()
+    with timed("docs_tfidf_topk"):
+        from pagerank_project_spark.operators.textstats import tfidf_topk
+
+        tfidf_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5).count()
 
     total = round(time.time() - t_all, 3)
     print(
