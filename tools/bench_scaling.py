@@ -238,7 +238,16 @@ def main():
     all_ops = [op for op in OP_LABEL if (op, 1) in scale and (op, 4) in scale]
 
     if args.skip_bench:
+        # reuse the committed driver-bench rows so the regenerated md keeps
+        # its table (they are refreshed by full runs / the round driver)
         bench = None
+        try:
+            with open("/root/repo/BENCH/local8.json") as f8, open(
+                "/root/repo/BENCH/local32.json"
+            ) as f32:
+                bench = {8: json.load(f8), 32: json.load(f32)}
+        except OSError:
+            pass
     else:
         bench = {cpus: run_bench(cpus, args.sf_dir) for cpus in (8, 32)}
         print("bench.py sf_dir done")
