@@ -263,6 +263,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark-leakage report: corpus docs sharing ≥1 distinct word
+    3-gram with the held-out 'benchmark' slice (doc_id ≡ 0 mod 50).
+    All-integer output — exact oracle match."""
+    from pagerank_project_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, bench, n=3)
+
+
 def q_embedding_topk(spark, sf_dir):
     from pagerank_project_spark.operators.similarity import brute_force_topk
 
@@ -575,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontamination": q_decontamination,
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
         # synthetic source-code fixture (SQL oracles over the same parquet
@@ -895,6 +907,23 @@ WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
 """
 
 
+DECONTAMINATION_SQL = f"""
+WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) >= 3
+      THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]
+      ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+),
+b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id, b.bench_id, COUNT(*)::BIGINT AS n_shared
+FROM sh s JOIN b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+GROUP BY 1, 2
+"""
+
+
 def _dedup_clusters_sql(threshold: float = 0.2, rounds: int = 8) -> str:
     """Converged CC over the exact-Jaccard pair graph (near-dup clusters
     are near-cliques, so ``rounds`` unrolled min-label steps carry large
@@ -1176,6 +1205,7 @@ FROM fps GROUP BY fp HAVING COUNT(*) >= 2
         "text_profile": _text_profile_sql(),
         "lang_histogram": _lang_histogram_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(0.2),
+        "decontamination": DECONTAMINATION_SQL,
         "embedding_topk": """
 WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

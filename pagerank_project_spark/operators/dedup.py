@@ -333,3 +333,47 @@ def near_dup_clusters(spark, pairs: DataFrame, a_col: str = "a", b_col: str = "b
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("cluster_size")
     )
     return members.join(stats, "component").select("doc_id", "canonical_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_shared) for every
+    corpus document sharing ≥ ``min_shared`` DISTINCT word n-grams with a
+    benchmark document — the overlap report a training pipeline uses to
+    drop eval-set leakage before training.
+
+    Scale shape: both sides reduce to distinct (id, shingle) rows (the
+    same pure-Catalyst slice+zip_with shingle expression as MinHash); the
+    contamination join keys on the shingle. The BENCHMARK side is small
+    by construction (eval suites are ~10⁵ docs vs a 10¹⁰-doc corpus), so
+    the optimizer broadcasts it and the corpus scan never shuffles; the
+    per-pair count is a map-side-combined groupBy. Hot shingles
+    (stop-phrase grams) only blow up if they are IN the benchmark —
+    raising ``n`` is the standard damper (real pipelines use 8-13-gram
+    windows; the small synthetic fixture uses n=3). All-integer output —
+    the DuckDB oracle (`decontamination`) matches exactly."""
+    sh_d = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    sh_b = (
+        bench.select(F.col(id_col).alias("bench_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    out = (
+        sh_d.join(sh_b, "sh")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return out.filter(F.col("n_shared") >= min_shared) if min_shared > 1 else out

@@ -340,3 +340,41 @@ def test_image_resize_composes_with_features(spark):
         xs = np.linspace(0, w - 1, 8).astype(int)
         exp = px[ys[:, None], xs[None, :], :].astype(np.float64).mean()
         assert feats[r["media_id"]] == pytest.approx(float(exp), abs=1e-9)
+
+
+def test_ngram_contamination_matches_python_oracle(spark):
+    from pagerank_project_spark.operators.dedup import ngram_contamination
+
+    _norm = norm_text  # module-level helper
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a quick brown fox appeared",          # shares "quick brown fox" with 1
+        3: "entirely different words here now",
+        10: "the quick brown fox jumps again",    # benchmark doc
+        20: "different words here",               # benchmark doc, <3 tokens after dedup? no: 3 tokens -> 1 shingle
+    }
+    rows = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id").isin(10, 20))
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in ngram_contamination(docs, bench, n=3).collect()
+    }
+
+    def sh3(t):
+        tk = _norm(t).split(" ")
+        return set(
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        ) if len(tk) >= 3 else {" ".join(tk)}
+
+    exp = {}
+    for b in (10, 20):
+        for d, t in texts.items():
+            if d == b:
+                continue
+            shared = len(sh3(t) & sh3(texts[b]))
+            if shared:
+                exp[(d, b)] = shared
+    assert got == exp
+    assert (1, 10) in got and got[(1, 10)] >= 2  # real overlap is detected
