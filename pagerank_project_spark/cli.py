@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--algorithm",
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering"],
+        choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering", "linkpred"],
     )
     p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
     p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
@@ -167,6 +167,16 @@ def main(argv: list[str] | None = None) -> int:
         from pagerank_project_spark.operators.triangles import clustering_coefficient
 
         out = clustering_coefficient(spark, edges)
+    elif args.algorithm == "linkpred":
+        from pagerank_project_spark.operators.linkpred import link_prediction_topk
+
+        out = link_prediction_topk(spark, edges, k=args.max_results)
+        if not args.output:
+            for r in out.collect():
+                print(
+                    f"aa={r['adamic_adar']:.6f} jaccard={r['jaccard']:.6f} "
+                    f"common={r['common']} pair={r['src']}~{r['dst']}"
+                )
     else:
         from pagerank_project_spark.operators.triangles import triangle_count
 
