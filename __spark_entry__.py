@@ -132,6 +132,25 @@ def q_pagerank_k3_personalized(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_k3_prepared(spark, sf_dir):
+    """The SAME fixed-3-iteration textbook PageRank as pagerank_k3, but
+    run from a PREPARED persistent graph (plans/prepared_graph): prepare
+    → load → loop. Shares pagerank_k3's oracle verbatim — the prepared
+    path is pinned bitwise-identical to the in-run build, so one SQL
+    text gates both."""
+    import tempfile
+
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.plans.prepared_graph import prepare_graph
+
+    pdir = tempfile.mkdtemp(prefix="prepared-cs-")
+    pg = prepare_graph(spark, _cs_edges(spark, sf_dir), pdir)
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, cfg=cfg, prepared=pg)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_iter5(spark, sf_dir):
     from pagerank_project_spark.operators.components import connected_components
 
@@ -574,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3": q_pagerank_k3,
         "pagerank_k3_personalized": q_pagerank_k3_personalized,
         "cc_iter5": q_cc_iter5,
+        "pagerank_k3_prepared": q_pagerank_k3_prepared,
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "hits_k3": q_hits_k3,
@@ -1172,6 +1192,7 @@ SELECT (SELECT c FROM nv) AS n_vertices,
        (SELECT COUNT(*)::BIGINT FROM e JOIN ind USING (dst), nv WHERE ind.c < 0.3 * nv.c) AS n_edges_kept
 """,
         "pagerank_k3": _pagerank_k3_sql(),
+        "pagerank_k3_prepared": _pagerank_k3_sql(),
         "pagerank_k3_personalized": _pagerank_k3_sql(
             pv_pred_sql="CASE WHEN id LIKE '%1%' THEN 1.0 ELSE 0.0 END"
         ),

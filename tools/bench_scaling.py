@@ -343,6 +343,12 @@ over the whole run (setup, convergence checks and label decode included).
 |---|---|---|---|---|---|---|
 {rows}
 
+CC's "steady-state" column is the median ROUND of a geometrically
+shrinking workload (round 2+ runs on a contracted edge set a few percent
+of the input, near the barrier floor), so it structurally under-reports;
+the WHOLE-RUN column — every phase from encode to label decode at the
+full input size — is the meaningful CC number.
+
 {pr_iter}
 {cc_note}
 {bench_md}
