@@ -265,6 +265,15 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_quality_filter(spark, sf_dir):
+    """Per-language quality-percentile corpus filter (keep top 50% of each
+    language by quality); kept set is deterministic — integer cutoff over
+    a (quality desc, doc_id) total order on the bit-identical score."""
+    from pagerank_project_spark.operators.textstats import quality_filter_per_lang
+
+    return quality_filter_per_lang(_t(spark, sf_dir, "documents"), keep_frac=0.5)
+
+
 def q_lang_histogram(spark, sf_dir):
     from pagerank_project_spark.operators.textstats import lang_id
 
@@ -604,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
         "tfidf_topk": q_tfidf_topk,
+        "quality_filter": q_quality_filter,
         "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
@@ -876,6 +886,22 @@ SELECT doc_id, n_tokens, n_bpe_tokens,
        WHEN h_es = best THEN 'es' ELSE 'fr' END AS lang_pred,
   fp
 FROM q
+"""
+
+
+def _quality_filter_sql(keep_frac: float = 0.5) -> str:
+    """Wraps the text_profile oracle (bit-identical quality + lang_pred)
+    with the same integer-cutoff windowing as quality_filter_per_lang."""
+    return f"""
+WITH prof AS ({_text_profile_sql()}),
+r AS (
+  SELECT doc_id, lang_pred, quality,
+         row_number() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang_pred) AS n_lang
+  FROM prof
+)
+SELECT doc_id, lang_pred, quality, rn::INT AS rn, n_lang::BIGINT AS n_lang
+FROM r WHERE rn <= ceil({keep_frac} * n_lang)
 """
 
 
@@ -1290,6 +1316,7 @@ SELECT doc_id,
        ROUND(SUM(CASE WHEN sb_next IS NOT NULL AND sb <> sb_next THEN 1 ELSE 0 END)/31.0, 6) AS zcr
 FROM z GROUP BY doc_id
 """,
+        "quality_filter": _quality_filter_sql(0.5),
         "tfidf_topk": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents

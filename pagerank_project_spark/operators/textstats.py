@@ -140,3 +140,40 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str 
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def quality_filter_per_lang(
+    docs: DataFrame, keep_frac: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language quality-percentile corpus filter — keep the top
+    ``keep_frac`` of each language's documents by quality score (the
+    C4/Gopher-style curation stage that equalizes quality ACROSS
+    languages instead of letting one language's score distribution set a
+    global cutoff).
+
+    Output (doc_id, lang_pred, quality, rn, n_lang): the kept rows with
+    their per-language quality rank and language size. The cutoff is an
+    integer row count ceil(keep_frac · n_lang) over a TOTAL order
+    (quality desc, doc_id asc), so the kept SET is deterministic and
+    engine-portable: quality is already bit-identical cross-engine (its
+    arithmetic is oracle-matched in `text_profile`) and ties inside one
+    quality value resolve by doc id. Both windows partition on the
+    language (bounded cardinality — a config-sized set, never a skew
+    hazard at any corpus size); everything is pure Catalyst."""
+    from pyspark.sql import Window
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+    )
+    w_rank = Window.partitionBy("lang_pred").orderBy(F.desc("quality"), F.asc("doc_id"))
+    w_all = Window.partitionBy("lang_pred")
+    return (
+        base.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_lang", F.count("*").over(w_all))
+        .filter(F.col("rn") <= F.ceil(F.lit(keep_frac) * F.col("n_lang")))
+    )

@@ -378,3 +378,29 @@ def test_ngram_contamination_matches_python_oracle(spark):
                 exp[(d, b)] = shared
     assert got == exp
     assert (1, 10) in got and got[(1, 10)] >= 2  # real overlap is detected
+
+
+def test_quality_filter_per_lang_keeps_top_fraction(spark, docs, docs_pdf):
+    from math import ceil
+
+    from pagerank_project_spark.operators.textstats import quality_filter_per_lang
+
+    out = quality_filter_per_lang(docs, keep_frac=0.5).collect()
+    prof = {
+        r["doc_id"]: (r["lang_pred"], r["quality"])
+        for r in textstats.text_profile(docs).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for d, (lang, q) in prof.items():
+        by_lang.setdefault(lang, []).append((-q, d))
+    exp = set()
+    for lang, rows in by_lang.items():
+        rows.sort()
+        exp |= {d for _, d in rows[: ceil(0.5 * len(rows))]}
+    got = {r["doc_id"] for r in out}
+    assert got == exp
+    for r in out:  # rank/cardinality bookkeeping is consistent
+        assert 1 <= r["rn"] <= ceil(0.5 * r["n_lang"])
+        assert r["n_lang"] == len(by_lang[r["lang_pred"]])
+    with pytest.raises(ValueError):
+        quality_filter_per_lang(docs, keep_frac=0.0)
