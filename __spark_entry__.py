@@ -265,6 +265,14 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM table (counts + conditional MLE probabilities) —
+    all-integer/exact-ratio arithmetic, bit-exact oracle."""
+    from pagerank_project_spark.operators.textstats import bigram_lm_stats
+
+    return bigram_lm_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-language quality-percentile corpus filter (keep top 50% of each
     language by quality); kept set is deterministic — integer cutoff over
@@ -614,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "tfidf_topk": q_tfidf_topk,
         "quality_filter": q_quality_filter,
+        "bigram_lm": q_bigram_lm,
         "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
@@ -1317,6 +1326,18 @@ SELECT doc_id,
 FROM z GROUP BY doc_id
 """,
         "quality_filter": _quality_filter_sql(0.5),
+        "bigram_lm": f"""
+WITH nt AS (SELECT {NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT str_split(t, ' ') AS tk FROM nt WHERE len(t) > 0),
+bg AS (
+  SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+c AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c)::BIGINT AS ctx FROM c GROUP BY 1)
+SELECT c.w1, c.w2, c.c, ROUND(c.c::DOUBLE / ctx.ctx, 6) AS p
+FROM c JOIN ctx USING (w1)
+""",
         "tfidf_topk": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents

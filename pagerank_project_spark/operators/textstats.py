@@ -177,3 +177,30 @@ def quality_filter_per_lang(
         .withColumn("n_lang", F.count("*").over(w_all))
         .filter(F.col("rn") <= F.ceil(F.lit(keep_frac) * F.col("n_lang")))
     )
+
+
+def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language-model statistics: (w1, w2, c, p) where c is
+    the corpus bigram count (MULTISET — LM counts, unlike dedup's distinct
+    shingles) and p = c(w1,w2) / Σ_w c(w1,w) the conditional MLE
+    probability. The n-gram count table is the classic LM / data-quality
+    artifact (perplexity filters, boilerplate detection).
+
+    Scale shape: the bigram stream is a row-level zip of two token-array
+    slices (pure Catalyst, subexpression-eliminated like dedup.shingles);
+    both aggs are map-side-combined groupBys and the context join keys on
+    w1 (hot head-words are a count agg, combiner-friendly). p is an exact
+    integer ratio in float64 → the DuckDB oracle matches bit-for-bit."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    cnt = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("s")).select("s.w1", "s.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = c.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    return c.join(ctx, "w1").select(
+        "w1", "w2", "c", F.round(F.col("c") / F.col("ctx"), 6).alias("p")
+    )

@@ -404,3 +404,24 @@ def test_quality_filter_per_lang_keeps_top_fraction(spark, docs, docs_pdf):
         assert r["n_lang"] == len(by_lang[r["lang_pred"]])
     with pytest.raises(ValueError):
         quality_filter_per_lang(docs, keep_frac=0.0)
+
+
+def test_bigram_lm_matches_python_oracle(spark):
+    from collections import Counter
+
+    from pagerank_project_spark.operators.textstats import bigram_lm_stats
+
+    texts = ["the cat sat on the mat", "the cat ran", "x", ""]
+    rows = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {(r["w1"], r["w2"]): (r["c"], r["p"]) for r in bigram_lm_stats(spark.createDataFrame(rows)).collect()}
+
+    c = Counter()
+    for t in texts:
+        tk = norm_text(t).split(" ") if norm_text(t) else []
+        c.update(zip(tk, tk[1:]))
+    ctx = Counter()
+    for (w1, _), n in c.items():
+        ctx[w1] += n
+    exp = {k: (n, round(n / ctx[k[0]], 6)) for k, n in c.items()}
+    assert got == exp
+    assert got[("the", "cat")] == (2, round(2 / 3, 6))  # ctx('the') = {cat×2, mat×1}
