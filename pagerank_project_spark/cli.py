@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     if use_prepared and args.algorithm != "pagerank":
         print("--prepared_dir currently serves --algorithm pagerank", file=sys.stderr)
         return 2
+    if use_prepared and args.filter_ratio is not None:
+        # never mask the engine's own guard: the spam filter is baked into
+        # the prepared graph at prepare time, so an explicit --filter_ratio
+        # here would silently NOT be applied
+        print("--filter_ratio is baked into the prepared graph at --prepare time; "
+              "re-prepare with the desired ratio instead of passing it at query time",
+              file=sys.stderr)
+        return 2
     if not args.data and not use_prepared:
         print("--data is required (or pass --prepared_dir to run from a prepared graph)",
               file=sys.stderr)
@@ -108,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             alpha=args.alpha,
             max_iterations=args.max_iterations,
             epsilon=args.epsilon,
-            filter_ratio=None if use_prepared else args.filter_ratio,
+            filter_ratio=args.filter_ratio,  # guaranteed None when use_prepared (guard above)
             mode=args.mode,
             strategy=args.strategy,
             num_partitions=args.num_partitions,

@@ -324,6 +324,18 @@ def near_dup_clusters(spark, pairs: DataFrame, a_col: str = "a", b_col: str = "b
     """
     from .components import connected_components
 
+    numeric = {"tinyint", "smallint", "int", "bigint"}
+    types = dict(pairs.dtypes)
+    bad = [c for c in (a_col, b_col) if types.get(c) not in numeric]
+    if bad:
+        # the canonical-id election below casts members to long; a string id
+        # like "doc-7" would become a silent NULL canonical_id instead of a
+        # deterministic representative
+        raise ValueError(
+            f"near_dup_clusters requires integer ids; column(s) {bad} have types "
+            f"{[types.get(c) for c in bad]} — map ids to integers first (e.g. via "
+            "vids.string_sorted_vids) or extend the election to a type-preserving min"
+        )
     edges = pairs.select(
         F.col(a_col).cast("string").alias("src"), F.col(b_col).cast("string").alias("dst")
     )

@@ -74,12 +74,20 @@ def hits(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     iterations: int = 3,
+    validate_vertices: bool = True,
 ) -> HITSResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
 
     if iterations < 1:
         raise ValueError("hits requires iterations >= 1")
     verts = build_vertices(edges, vertices).persist()
+    if vertices is not None and validate_vertices:
+        # endpoints outside the vertex table would still feed the L2 norms
+        # before the final left join drops them — the reported vectors
+        # would not be unit over the output set (same guard as pagerank)
+        from pagerank_project_spark.operators.vids import assert_endpoints_covered
+
+        assert_endpoints_covered(edges, verts)
     e = edges.select("src", "dst").distinct().persist()
     e.count()  # materialize the loop-invariant edge cache once
 

@@ -70,10 +70,18 @@ def kcore(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 100,
+    validate_vertices: bool = True,
 ) -> KCoreResult:
     from pagerank_project_spark.operators.pagerank import build_vertices
 
     verts = build_vertices(edges, vertices)
+    if vertices is not None and validate_vertices:
+        # an endpoint outside the vertex table still inflates its
+        # neighbors' h-indices before the final left join drops it —
+        # silently wrong coreness (same guard as pagerank/hits)
+        from pagerank_project_spark.operators.vids import assert_endpoints_covered
+
+        assert_endpoints_covered(edges, verts)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # pre-partition the loop-invariant symmetric edge cache on the gather
     # key: every iteration's join then reads the cache partitioning
@@ -92,13 +100,19 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         for it in range(1, max_iterations + 1):
-            new_c = _h_step(und, c).localCheckpoint(eager=True)
-            changed = (
-                new_c.join(c.withColumnRenamed("core", "old"), "id")
-                .filter(F.col("core") != F.col("old"))
-                .count()
+            # ONE job per superstep (pagerank._iterate discipline): carry the
+            # previous value through a shuffle_hash join (key sets are equal —
+            # both are exactly the non-isolated vertices), lazily checkpoint,
+            # and let the changed-count agg be the single materializing action.
+            new_c = (
+                _h_step(und, c)
+                .join(c.withColumnRenamed("core", "old").hint("shuffle_hash"), "id")
+                .localCheckpoint(eager=False)
             )
-            c = new_c
+            changed = new_c.agg(
+                F.sum((F.col("core") != F.col("old")).cast("long")).alias("ch")
+            ).first()["ch"] or 0
+            c = new_c.select("id", "core")
             if changed == 0:
                 converged = True
                 break

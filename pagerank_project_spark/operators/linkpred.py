@@ -38,11 +38,31 @@ def link_prediction_topk(
     edges: DataFrame,
     k: int = 50,
     max_apex_degree: int | None = None,
+    wedge_budget: int = 2_000_000_000,
+    exact: bool = False,
 ) -> DataFrame:
     """Top-k candidate links by Adamic-Adar (desc, then pair asc). Output
-    (src, dst, common, adamic_adar, jaccard) with src < dst."""
+    (src, dst, common, adamic_adar, jaccard) with src < dst.
+
+    Uncapped exact mode is Θ(Σ deg²): a single 10⁷-degree hub is a
+    10¹⁴-wedge stage. When no ``max_apex_degree`` cap is given, the wedge
+    count is estimated up front from the degree table (one cheap
+    map-side-combined agg over data the plan needs anyway) and the run
+    REFUSES above ``wedge_budget`` unless ``exact=True`` — the scale-unsafe
+    setting must be an explicit opt-in, not the default."""
     und = undirected_edges(edges).persist()
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+
+    if max_apex_degree is None and not exact:
+        est = deg.agg(F.sum(F.col("deg") * F.col("deg")).alias("w")).first()["w"] or 0
+        if est > wedge_budget:
+            und.unpersist()
+            raise ValueError(
+                f"estimated wedge count {est:,} exceeds wedge_budget {wedge_budget:,}; "
+                "pass max_apex_degree to cap ultra-hub apexes (they contribute "
+                "quadratically many wedges of near-zero Adamic-Adar evidence each), "
+                "or exact=True to force the uncapped quadratic run"
+            )
 
     apex = und.join(deg.hint("shuffle_hash"), "src")
     if max_apex_degree is not None:

@@ -124,6 +124,18 @@ def prepare_graph(
     return load_prepared(spark, path)
 
 
+def _catalog_entry_matches(spark: SparkSession, tbl: str, path: str, buckets: int) -> bool:
+    """True iff the registered table's LOCATION resolves to {path}/edges and
+    its bucket count matches the manifest being loaded."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+    meta = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    loc = meta.get("Location", "")
+    want = os.path.abspath(f"{path}/edges")
+    got = os.path.abspath(loc.removeprefix("file:"))
+    n_buckets = meta.get("Num Buckets", "")
+    return got == want and n_buckets == str(buckets)
+
+
 def load_prepared(spark: SparkSession, path: str) -> PreparedGraph:
     with open(f"{path}/manifest.json") as f:
         manifest = json.load(f)
@@ -131,6 +143,12 @@ def load_prepared(spark: SparkSession, path: str) -> PreparedGraph:
         raise ValueError(f"prepared graph at {path} has version {manifest.get('version')}, "
                          f"this engine reads {PREPARED_VERSION}")
     tbl, buckets = manifest["table"], manifest["buckets"]
+    if spark.catalog.tableExists(tbl) and not _catalog_entry_matches(spark, tbl, path, buckets):
+        # the catalog holds a table with this name but a DIFFERENT location
+        # or bucket spec (a prepared dir was moved/copied and its original
+        # path re-prepared in the same session) — serving it would silently
+        # read the other dir's edge files with this manifest's n/m counts
+        spark.sql(f"DROP TABLE {tbl}")
     if not spark.catalog.tableExists(tbl):
         # fresh session: the in-memory catalog forgot the bucket spec —
         # re-register the external table over the existing files
