@@ -297,6 +297,84 @@ def q_quality_filter(spark, sf_dir):
     return quality_filter_per_lang(_t(spark, sf_dir, "documents"), keep_frac=0.5)
 
 
+# --- repetition / PII fixtures ----------------------------------------------
+# the synthetic documents are single-line with no PII, so these queries
+# derive enriched text DETERMINISTICALLY from (text, doc_id) with the same
+# arithmetic on both engines (the proven media_audio_profile pattern):
+# multi-line docs with data-dependent planted duplicate lines/paragraphs,
+# and appended PII spans per residue class.
+
+def _ml_text_expr():
+    """Multi-line document: para1 = first-80-chars + first-40-chars line
+    (duplicated when doc_id ≡ 0 mod 2), para2 = chars 81-160 (duplicated as
+    para3 when doc_id ≡ 0 mod 3)."""
+    t, d = F.col("text"), F.col("doc_id")
+    p1 = F.substring(t, 1, 80)
+    p2 = F.substring(t, 81, 80)
+    l1 = F.substring(t, 1, 40)
+    para1 = F.when(d % 2 == 0, F.concat_ws("\n", p1, l1, l1)).otherwise(F.concat_ws("\n", p1, l1))
+    tail = F.when(d % 3 == 0, F.concat(F.lit("\n\n"), p2)).otherwise(F.lit(""))
+    return F.concat(para1, F.lit("\n\n"), p2, tail)
+
+
+ML_TEXT_SQL = """
+CASE WHEN doc_id % 2 = 0
+     THEN substr(text, 1, 80) || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+     ELSE substr(text, 1, 80) || chr(10) || substr(text, 1, 40) END
+|| chr(10) || chr(10) || substr(text, 81, 80)
+|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || substr(text, 81, 80) ELSE '' END
+"""
+
+
+def _pii_text_expr():
+    """PII-enriched text: per residue class append an email / dotted quad /
+    international phone / 32-hex-char key derived from (doc_id, text)."""
+    t, d = F.col("text"), F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        t,
+        F.when(d % 2 == 0, F.concat(F.lit(" contact p"), s(d), F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit(" host 10."), s(d % 256), F.lit(".0."), s(d % 100))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" call +1 555 "), s(d % 900 + 100), F.lit(" "), s(d % 9000 + 1000))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" token "), F.md5(t.cast("binary")))).otherwise(F.lit("")),
+    )
+
+
+PII_TEXT_SQL = """
+text
+|| CASE WHEN doc_id % 2 = 0 THEN ' contact p' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END
+|| CASE WHEN doc_id % 3 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR ELSE '' END
+|| CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 ' || (doc_id % 900 + 100)::VARCHAR || ' ' || (doc_id % 9000 + 1000)::VARCHAR ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN ' token ' || md5(text) ELSE '' END
+"""
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher/C4-style repetition signals over the derived multi-line
+    corpus — all exact integer ratios, bit-exact oracle."""
+    from pagerank_project_spark.operators.textstats import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _ml_text_expr().alias("text"))
+    return repetition_profile(docs)
+
+
+def q_quality_filter_rep(spark, sf_dir):
+    """quality_filter_per_lang COMPOSED with the repetition pre-filter:
+    docs whose duplicate-line fraction exceeds 0.3 (the doc_id ≡ 0 mod 6
+    plants, at 0.4) are dropped before the per-language percentile."""
+    from pagerank_project_spark.operators.textstats import quality_filter_per_lang
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _ml_text_expr().alias("text"))
+    return quality_filter_per_lang(docs, keep_frac=0.5, max_dup_line_frac=0.3)
+
+
+def q_pii_scrub(spark, sf_dir):
+    from pagerank_project_spark.operators.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _pii_text_expr().alias("text"))
+    return pii_scrub(docs)
+
+
 def q_lang_histogram(spark, sf_dir):
     from pagerank_project_spark.operators.textstats import lang_id
 
@@ -637,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "tfidf_topk": q_tfidf_topk,
         "quality_filter": q_quality_filter,
+        "repetition_profile": q_repetition_profile,
+        "quality_filter_rep": q_quality_filter_rep,
+        "pii_scrub": q_pii_scrub,
         "bigram_lm": q_bigram_lm,
         "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
@@ -876,7 +957,7 @@ SELECT size, COUNT(*)::BIGINT AS n_components FROM (
     )
 
 
-def _text_profile_sql() -> str:
+def _text_profile_sql(from_sql: str = "documents") -> str:
     from pagerank_project_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
 
     def sw(lang):
@@ -892,7 +973,7 @@ WITH base AS (
     length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS nws,
     {hits["de"]} AS h_de, {hits["en"]} AS h_en, {hits["es"]} AS h_es, {hits["fr"]} AS h_fr,
     md5({NORM_TEXT_SQL}) AS fp
-  FROM documents
+  FROM {from_sql}
 ), q AS (
   SELECT *,
     least(n_tokens / 20.0, 1.0) AS len_term,
@@ -913,11 +994,11 @@ FROM q
 """
 
 
-def _quality_filter_sql(keep_frac: float = 0.5) -> str:
+def _quality_filter_sql(keep_frac: float = 0.5, from_sql: str = "documents") -> str:
     """Wraps the text_profile oracle (bit-identical quality + lang_pred)
     with the same integer-cutoff windowing as quality_filter_per_lang."""
     return f"""
-WITH prof AS ({_text_profile_sql()}),
+WITH prof AS ({_text_profile_sql(from_sql)}),
 r AS (
   SELECT doc_id, lang_pred, quality,
          row_number() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id) AS rn,
@@ -926,6 +1007,70 @@ r AS (
 )
 SELECT doc_id, lang_pred, quality, rn::INT AS rn, n_lang::BIGINT AS n_lang
 FROM r WHERE rn <= ceil({keep_frac} * n_lang)
+"""
+
+
+def _repetition_profile_sql() -> str:
+    """operators/textstats.repetition_profile mirrored over the derived
+    multi-line corpus: list ops for the row-local line/paragraph metrics,
+    unnest+groupBy for the bigram mode — every output an exact integer
+    ratio in float64."""
+    lines = "list_filter([trim(x) for x in str_split(text, chr(10))], x -> x <> '')"
+    paras = "list_filter([trim(x) for x in str_split(text, chr(10) || chr(10))], x -> x <> '')"
+    chars = "coalesce(list_sum([length(x) for x in {0}]), 0)"
+    return f"""
+WITH d AS (SELECT doc_id, ({ML_TEXT_SQL}) AS text FROM documents),
+seg AS (
+  SELECT doc_id, {lines} AS lines, {paras} AS paras,
+         str_split({NORM_TEXT_SQL}, ' ') AS tk
+  FROM d
+),
+base AS (
+  SELECT doc_id,
+    len(lines)::BIGINT AS n_lines,
+    ROUND((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 6) AS dup_line_frac,
+    ROUND(({chars.format("lines")} - {chars.format("list_distinct(lines)")})
+          / greatest({chars.format("lines")}, 1), 6) AS dup_line_char_frac,
+    len(paras)::BIGINT AS n_paras,
+    ROUND((len(paras) - len(list_distinct(paras))) / greatest(len(paras), 1), 6) AS dup_para_frac
+  FROM seg
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 2 THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+         ELSE []::VARCHAR[] END) AS bg
+  FROM seg
+),
+cnt AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) / SUM(c) AS tbf FROM cnt GROUP BY 1)
+SELECT b.doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_paras, dup_para_frac,
+       ROUND(COALESCE(top.tbf, 0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+def _quality_filter_rep_sql(keep_frac: float = 0.5, max_dup: float = 0.3) -> str:
+    """quality_filter composed with the repetition pre-filter, over the
+    derived multi-line corpus: the dup-line predicate (raw exact ratio,
+    unrounded — mirroring the Spark-side filter) gates the docs feeding
+    the per-language percentile windows."""
+    lines = "list_filter([trim(x) for x in str_split(text, chr(10))], x -> x <> '')"
+    src = f"""
+(WITH src0 AS (SELECT doc_id, ({ML_TEXT_SQL}) AS text FROM documents),
+src1 AS (SELECT doc_id, text, {lines} AS lines FROM src0)
+SELECT doc_id, text FROM src1
+WHERE (len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1) <= {max_dup})
+"""
+    return _quality_filter_sql(keep_frac, from_sql=src)
+
+
+def _pii_scrub_sql() -> str:
+    from pagerank_project_spark.operators.pii import pii_scrub_sql_exprs
+
+    red, counts = pii_scrub_sql_exprs()
+    return f"""
+WITH p AS (SELECT doc_id, ({PII_TEXT_SQL}) AS text FROM documents)
+SELECT doc_id, {red} AS redacted, {", ".join(counts)} FROM p
 """
 
 
@@ -1341,6 +1486,9 @@ SELECT doc_id,
 FROM z GROUP BY doc_id
 """,
         "quality_filter": _quality_filter_sql(0.5),
+        "repetition_profile": _repetition_profile_sql(),
+        "quality_filter_rep": _quality_filter_rep_sql(0.5, 0.3),
+        "pii_scrub": _pii_scrub_sql(),
         "bigram_lm": f"""
 WITH nt AS (SELECT {NORM_TEXT_SQL} AS t FROM documents),
 toks AS (SELECT str_split(t, ' ') AS tk FROM nt WHERE len(t) > 0),

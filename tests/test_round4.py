@@ -167,3 +167,93 @@ def test_kcore_convergence_one_job_per_superstep(spark):
         counts[mi] = len(sc.statusTracker().getJobIdsForGroup(grp))
 
     assert counts[3] - counts[2] == 1
+
+
+# --------------------------------------------------------------------------
+# repetition signals (hand-built fixtures with known exact ratios)
+# --------------------------------------------------------------------------
+
+def test_repetition_profile_known_values(spark):
+    from pagerank_project_spark.operators.textstats import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" repeated once; paragraphs: ["a b\ndup dup\ndup dup", "c d"]
+            (1, "a b\ndup dup\ndup dup\n\nc d"),
+            # no duplicates at all; single paragraph
+            (2, "one two\nthree four"),
+            # dominant bigram: "x y" appears 3 times of 5 bigrams
+            (3, "x y x y x y"),
+            # empty-ish doc
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 4 and r1["n_paras"] == 2
+    assert r1["dup_line_frac"] == 0.25  # 1 repeat of 4 lines
+    # chars: a b(3) + dup dup(7)*2 + c d(3) = 20; dup chars = 7
+    assert r1["dup_line_char_frac"] == 0.35
+    assert r1["dup_para_frac"] == 0.0
+
+    r2 = got[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_para_frac"] == 0.0
+    assert r2["top_bigram_frac"] == 0.333333  # 3 distinct bigrams, each once
+
+    r3 = got[3]
+    # bigrams: x y, y x, x y, y x, x y → top "x y" 3 of 5
+    assert r3["top_bigram_frac"] == 0.6
+
+    r4 = got[4]
+    assert r4["n_lines"] == 0 and r4["dup_line_frac"] == 0.0
+    assert r4["top_bigram_frac"] == 0.0
+
+
+def test_quality_filter_repetition_prefilter(spark):
+    from pagerank_project_spark.operators.textstats import quality_filter_per_lang
+
+    boiler = "the menu\nthe menu\nthe menu\nthe menu"  # dup_line_frac = 0.75
+    clean = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(i, clean + f" variant {i}") for i in range(4)] + [(99, boiler)],
+        "doc_id long, text string",
+    )
+    kept_all = {r["doc_id"] for r in quality_filter_per_lang(docs, keep_frac=1.0).collect()}
+    kept_rep = {
+        r["doc_id"]
+        for r in quality_filter_per_lang(docs, keep_frac=1.0, max_dup_line_frac=0.5).collect()
+    }
+    assert 99 in kept_all
+    assert kept_rep == kept_all - {99}
+
+
+# --------------------------------------------------------------------------
+# PII scrub (hand-built fixture with known counts)
+# --------------------------------------------------------------------------
+
+def test_pii_scrub_known_counts(spark):
+    from pagerank_project_spark.operators.pii import pii_scrub
+
+    key = "A" * 40
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org and b@x.io now"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 555 0142 4242 or +44 201 7946 0958."),
+            (4, f"token {key}= end"),
+            (5, "nothing to redact here 123 456"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+
+    assert got[1]["n_email"] == 2 and got[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2]["n_ipv4"] == 2 and got[2]["redacted"] == "server <IPV4> and <IPV4> up"
+    assert got[3]["n_phone"] == 2
+    assert got[3]["redacted"] == "call <PHONE> or <PHONE>."
+    assert got[4]["n_key"] == 1 and got[4]["redacted"] == "token <KEY> end"
+    r5 = got[5]
+    assert (r5["n_email"], r5["n_key"], r5["n_ipv4"], r5["n_phone"]) == (0, 0, 0, 0)
+    assert r5["redacted"] == "nothing to redact here 123 456"
