@@ -440,6 +440,10 @@ def q_code_extract_summary(spark, sf_dir):
 
 
 def q_code_pagerank_top50(spark, sf_dir):
+    """RUN-TO-CONVERGENCE reference-mode PageRank → top-50. Rank is rounded
+    to 6dp BEFORE the top-k cut (ties → id) so the selected set is
+    ulp-robust; the DuckDB oracle unrolls the same dataflow with the
+    convergence test inside the SQL (_pagerank_converged_sql)."""
     from pagerank_project_spark.config import PageRankConfig
     from pagerank_project_spark.operators.pagerank import pagerank
 
@@ -448,13 +452,16 @@ def q_code_pagerank_top50(spark, sf_dir):
         spark, edges, vertices=verts, cfg=PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=100)
     )
     return (
-        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
         .limit(50)
-        .select("id", F.round("rank", 6).alias("rank"))
     )
 
 
 def q_code_pagerank_csr_top50(spark, sf_dir):
+    """Same converged run through the salted CSR pandas-UDF strategy —
+    pinned to the same oracle (the strategies are equivalence-tested to
+    1e-9; the 6dp pre-ranking round kills the residual ulp noise)."""
     from pagerank_project_spark.config import PageRankConfig
     from pagerank_project_spark.operators.pagerank import pagerank
 
@@ -462,9 +469,9 @@ def q_code_pagerank_csr_top50(spark, sf_dir):
     cfg = PageRankConfig(mode="reference", epsilon=1e-6, max_iterations=100, strategy="csr")
     res = pagerank(spark, edges, vertices=verts, cfg=cfg)
     return (
-        res.ranks.orderBy(F.desc("rank"), F.asc("id"))
+        res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
         .limit(50)
-        .select("id", F.round("rank", 6).alias("rank"))
     )
 
 
@@ -789,6 +796,59 @@ raw{k} AS (
 {c} AS (SELECT id, x / (SELECT SUM(abs(x)) FROM raw{k}) AS x FROM raw{k})
 """
     return head + body + "\nSELECT id, ROUND(x, 6) AS rank FROM x3"
+
+
+def _pagerank_converged_sql(
+    e_sql: str, v_sql: str, eps: float = 1e-6, depth: int = 12, k_top: int = 50
+) -> str:
+    """RUN-TO-CONVERGENCE reference-mode PageRank (pagerank.py:100-139
+    committed-code semantics: x L1-normalized per iteration, v
+    L2-normalized → uniform v_i = 1/√n, x0 = 1/√n, dangling mass folded
+    per iteration, stop when the L2 residual ‖x_k − x_{k−1}‖₂ < ε), then
+    the top-``k_top`` by rounded rank.
+
+    The convergence TEST itself is inside the SQL: every unrolled iterate
+    carries its residual, and the answer selects the iterate at the FIRST
+    k with residual < ε — so the oracle needs no out-of-band recorded
+    iteration count, only an unroll depth with headroom (measured: the
+    code graph converges in 5 iterations at sf0.001, 4 at sf0.01; the
+    residual contraction is geometric ≈ α·|λ₂|, nowhere near the depth).
+    Ranks are rounded to 6dp BEFORE the top-k cut on BOTH engines, so
+    ulp-level summation differences cannot flip the k-th spot; rounded
+    ties break on id. AS MATERIALIZED throughout — each iterate is
+    referenced three times (gather, residual, final union) and inlining
+    would copy the base scan 3^depth times (same lesson as _cc_prop_body)."""
+    head = f"""
+WITH e AS MATERIALIZED ({e_sql}),
+v AS MATERIALIZED ({v_sql}),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+od AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+w AS MATERIALIZED (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+x0 AS MATERIALIZED (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
+"""
+    body = ""
+    for k in range(1, depth + 1):
+        p, c = f"x{k - 1}", f"x{k}"
+        body += f""",
+dang{k} AS (SELECT COALESCE(SUM(x.x), 0) AS dm FROM {p} x LEFT JOIN od ON x.id = od.src WHERE od.src IS NULL),
+con{k} AS (SELECT w.dst AS id, SUM(w.w * x.x) AS c FROM w JOIN {p} x ON w.src = x.id GROUP BY w.dst),
+raw{k} AS MATERIALIZED (
+  SELECT v.id, {ALPHA}*COALESCE(c.c, 0) + ({ALPHA}*d.dm + {1 - ALPHA})/sqrt(nn.n) AS x
+  FROM v LEFT JOIN con{k} c ON v.id = c.id, dang{k} d, nn
+),
+{c} AS MATERIALIZED (SELECT id, x / (SELECT SUM(abs(x)) FROM raw{k}) AS x FROM raw{k}),
+res{k} AS MATERIALIZED (SELECT sqrt(SUM((a.x - b.x)*(a.x - b.x))) AS r FROM {c} a JOIN {p} b USING (id))
+"""
+    res_union = " UNION ALL ".join(f"SELECT {k} AS k, r FROM res{k}" for k in range(1, depth + 1))
+    x_union = " UNION ALL ".join(f"SELECT {k} AS k, id, x FROM x{k}" for k in range(1, depth + 1))
+    tail = f""",
+resall AS ({res_union}),
+kc AS (SELECT MIN(k) AS k FROM resall WHERE r < {eps}),
+allx AS ({x_union})
+SELECT id, ROUND(x, 6) AS rank FROM allx WHERE k = (SELECT k FROM kc)
+ORDER BY ROUND(x, 6) DESC, id LIMIT {k_top}
+"""
+    return head + body + tail
 
 
 def _hits_k3_sql(k: int = 3) -> str:
@@ -1535,9 +1595,17 @@ def _code_oracles() -> dict[str, str]:
     # unroll depth ≥ the graph's max distance-to-component-min (see
     # _cc_sizes_sql); generous headroom at each SF the oracle runs at
     cc_rounds = 12 if sf <= 0.001 else (20 if sf <= 0.01 else 80)
+    # converged-PageRank unroll depth: measured 5 iterations at sf0.001 and
+    # 4 at sf0.01 (geometric residual contraction) — 12/16 is >2× headroom
+    pr_depth = 12 if sf <= 0.001 else (16 if sf <= 0.01 else 60)
+    pr_conv = _pagerank_converged_sql(
+        _code_e_sql(fix), _code_v_sql(fix), eps=1e-6, depth=pr_depth, k_top=50
+    )
     return {
         "code_extract_summary": _code_extract_summary_sql(fix),
         "code_pagerank_k3": _pagerank_k3_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
+        "code_pagerank_top50": pr_conv,
+        "code_pagerank_csr_top50": pr_conv,
         "code_cc_iter5": _cc_iter5_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
         "code_cc_sizes": _cc_sizes_sql(_code_e_sql(fix), _code_v_sql(fix), cc_rounds),
         "code_lpa_communities": _code_lpa_sql(fix, iterations=4),
