@@ -257,3 +257,49 @@ def test_pii_scrub_known_counts(spark):
     r5 = got[5]
     assert (r5["n_email"], r5["n_key"], r5["n_ipv4"], r5["n_phone"]) == (0, 0, 0, 0)
     assert r5["redacted"] == "nothing to redact here 123 456"
+
+
+# --------------------------------------------------------------------------
+# LPA hash-vid production mode
+# --------------------------------------------------------------------------
+
+def test_lpa_hash_mode_deterministic_and_structurally_sane(spark):
+    """hash vid_mode: deterministic across partition counts, finds the
+    same community STRUCTURE as sorted mode on a tie-free fixture (two
+    4-cliques bridged by one edge), and falls back safely."""
+    from pagerank_project_spark.operators.labelprop import label_propagation
+
+    cliq = lambda names: [(a, b) for a in names for b in names if a < b]  # noqa: E731
+    rows = cliq(["a1", "a2", "a3", "a4"]) + cliq(["b1", "b2", "b3", "b4"]) + [("a1", "b1")]
+    e = edges_df(spark, rows)
+
+    def parts(res):
+        from collections import defaultdict
+
+        d = defaultdict(set)
+        for r in res.labels.collect():
+            d[r["label"]].add(r["id"])
+        return sorted(sorted(v) for v in d.values())
+
+    sorted_parts = parts(label_propagation(spark, e, iterations=4))
+    hash_parts = parts(label_propagation(spark, e, iterations=4, vid_mode="hash"))
+    assert sorted_parts == hash_parts  # two cliques, bridge absorbed
+
+    # determinism: partition count must not change hash-mode output
+    h2 = label_propagation(spark, e, iterations=4, vid_mode="hash", num_partitions=2)
+    h8 = label_propagation(spark, e, iterations=4, vid_mode="hash", num_partitions=8)
+    assert sorted(map(tuple, h2.labels.collect())) == sorted(map(tuple, h8.labels.collect()))
+
+
+def test_lpa_hash_mode_zero_encode_joins(spark):
+    """The hash path must not join a vmap to encode edges: the symmetric
+    edge view's plan contains no join at all."""
+    from pagerank_project_spark.operators.components import undirected_edges
+    from pyspark.sql import functions as F
+
+    e = edges_df(spark, [("a", "b"), ("b", "c")])
+    enc = undirected_edges(e).select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan

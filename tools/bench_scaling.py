@@ -99,6 +99,46 @@ if op in ("relational", "csr"):
     out.update({"iters": res.iterations, "wall_sec": round(dt, 2), "setup_sec": res.setup_sec,
                 "iter_secs": res.iter_secs, "sec_per_iter": med,
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op == "relational_fixed":
+    # DIAGNOSTIC (prepared-gap isolation): the identical in-run build, but
+    # the loop pinned to the prepared table's partition count (64) at BOTH
+    # legs — if this reproduces the prepared rows' efficiency, the gap is
+    # the partition-count/task-wave coupling, not the bucketed layout.
+    from pagerank_project_spark.operators.pagerank import pagerank
+    cfg = PageRankConfig(mode="standard", epsilon=0.0, max_iterations=iters,
+                         convergence="l1_delta", strategy="relational",
+                         num_partitions=(prep_buckets or 64))
+    res = pagerank(spark, edges, vertices=verts, cfg=cfg)
+    dt = time.time() - t0
+    steady = sorted(res.iter_secs[2:])
+    med = steady[len(steady) // 2]
+    out.update({"iters": res.iterations, "wall_sec": round(dt, 2), "setup_sec": res.setup_sec,
+                "iter_secs": res.iter_secs, "sec_per_iter": med,
+                "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op == "prepared_repart":
+    # DIAGNOSTIC: the 64-bucket prepared table, but the loop repartitioned
+    # to the leg's task slots (pagerank's buckets != nparts branch) — one
+    # extra setup shuffle buys slot-matched loop partitioning. If this
+    # recovers the in-run efficiency, the fix for small clusters querying
+    # a large-bucketed table is 'repartition at load', mechanically.
+    import os
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.plans.prepared_graph import load_prepared, prepare_graph
+    nb = prep_buckets or 64
+    pdir = f"{fix}/prepared_{nb}b"
+    if not os.path.exists(f"{pdir}/manifest.json"):
+        prepare_graph(spark, edges, pdir, vertices=verts, buckets=nb)
+    pg = load_prepared(spark, pdir)
+    cfg = PageRankConfig(mode="standard", epsilon=0.0, max_iterations=iters,
+                         convergence="l1_delta", strategy="relational")  # nparts = task slots
+    t0 = time.time()
+    res = pagerank(spark, cfg=cfg, prepared=pg)
+    dt = time.time() - t0
+    steady = sorted(res.iter_secs[2:])
+    med = steady[len(steady) // 2]
+    out.update({"iters": res.iterations, "wall_sec": round(dt, 2), "setup_sec": res.setup_sec,
+                "iter_secs": res.iter_secs, "sec_per_iter": med,
+                "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op == "prepared":
     # "prepare once, query many": the bucketed prepared graph (built once
     # per leg bucket-count, reused by later invocations) replaces the
@@ -156,7 +196,12 @@ elif op == "cc":
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op == "lpa":
     from pagerank_project_spark.operators.labelprop import label_propagation
-    res = label_propagation(spark, edges, vertices=verts, iterations=4)
+    # hash vid_mode = the production path (inline xxhash64 encode, zero
+    # setup shuffles/joins — CC's round-3 cure applied to LPA). The
+    # sorted-vid oracle path keeps min-STRING tie-breaks for the
+    # code_lpa_communities contract entry; its encode/decode sort tails
+    # are exactly what the round-3 whole-run number (0.79) measured.
+    res = label_propagation(spark, edges, vertices=verts, iterations=4, vid_mode="hash")
     res.labels.select(F.count("*")).collect()
     dt = time.time() - t0
     steady = sorted(res.iter_secs[1:]) or res.iter_secs
@@ -203,7 +248,7 @@ OP_LABEL = {
     "prepared": "PageRank relational from PREPARED graph (bucketed edges, zero-exchange)",
     "csr": "PageRank CSR pandas-UDF (salted)",
     "cc": "Connected components (star contraction, to convergence)",
-    "lpa": "Label propagation (4 sync iterations)",
+    "lpa": "Label propagation (4 sync iterations, hash-vid production mode)",
 }
 
 
