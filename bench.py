@@ -128,17 +128,17 @@ def main() -> None:
     dispersion(res_csr, "pagerank_csr")
 
     # --- CC / LPA / triangles ---------------------------------------------
-    # both CC (star) and LPA take their zero-shuffle hash-vid production
-    # paths here (inline xxhash64 encode); the string-sorted encode exists
-    # for oracle-exact min-STRING tie-breaks, which the bench doesn't check
+    # CC (star) takes its zero-shuffle hash-vid path; LPA keeps sorted vids
+    # — measured at sf16 (BENCH/BASELINE.md round 4): compact 0..n vids
+    # delta-compress in the symmetric edge cache the loop streams every
+    # superstep, beating the cheaper-to-encode but incompressible
+    # xxhash64 vids on both cache-fill and superstep time
     with timed("connected_components"):
         cc = connected_components(spark, edges, vertices=verts)
         cc.labels.groupBy("component").count().count()
     extra["cc_iterations"] = cc.iterations
     with timed("label_propagation_4it"):
-        label_propagation(
-            spark, edges, vertices=verts, iterations=4, vid_mode="hash"
-        ).labels.count()
+        label_propagation(spark, edges, vertices=verts, iterations=4).labels.count()
     with timed("triangle_count"):
         tri = triangle_count(spark, edges)
     extra["n_triangles"] = tri.total

@@ -35,7 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from pagerank_project_spark.operators.components import undirected_edges
+
 from pagerank_project_spark.operators.vids import string_sorted_vids
 
 
@@ -44,6 +44,7 @@ class LPAResult:
     labels: DataFrame  # (id: string, label: string)
     iterations: int  # actual final superstep index (resume: includes checkpointed supersteps)
     iter_secs: list[float] | None = None  # wall per superstep
+    phase_secs: dict | None = None  # one-time tails: validate/encode/cache_fill
 
 
 def label_propagation(
@@ -64,27 +65,40 @@ def label_propagation(
 
     ``vid_mode``: 'sorted' (default) assigns vids in STRING-sorted order —
     the min-label tie-break is then exactly min-STRING, which the SQL
-    oracle pins; the encode is a range exchange + per-partition sort, the
-    one phase the sf32 N→4N A/B measured at only ~2.3× (sort is
-    memory-bandwidth-bound). 'hash' assigns vids inline as xxhash64(id)
-    (collision-checked; falls back to sorted) — ZERO setup shuffles, no
-    encode joins, the same cure that took CC's whole-run efficiency from
-    0.67 to 0.82 in round 3. Tie-breaks then use the hash order instead
-    of the string order — still a deterministic, partition/retry-invariant
+    oracle pins. 'hash' assigns vids inline as xxhash64(id)
+    (collision-checked; falls back to sorted) — zero setup shuffles, no
+    encode joins; tie-breaks then use the hash order instead of the
+    string order (still a deterministic, partition/retry-invariant
     function of the data, but where neighbor-label frequencies TIE the
-    adopted label (and hence the final partition) may differ from sorted
-    mode: both are valid sync-LPA outcomes under different total orders.
-    'hash' is the production mode for callers that want deterministic
-    communities; 'sorted' is for min-STRING/oracle parity."""
+    adopted label — and hence the final partition — may differ from
+    sorted mode: both are valid sync-LPA outcomes under different total
+    orders).
+
+    MEASURED TRADE-OFF (sf16, 131M symmetric rows, BENCH/BASELINE.md
+    round 4): unlike CC star (which rewrites its edge set every round),
+    LPA STREAMS one long-lived symmetric edge cache every superstep, and
+    the vid encoding sets that cache's compressibility — compact sorted
+    vids delta-compress while random xxhash64 vids do not, so 'sorted'
+    measured BOTH a cheaper cache fill and ~20% faster supersteps despite
+    its costlier encode. 'sorted' is therefore the default and the
+    production recommendation; 'hash' remains for encode-dominated
+    shapes (few supersteps over a small edge set with a huge vertex
+    dictionary)."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
     if vid_mode not in ("sorted", "hash"):
         raise ValueError(f"unknown vid_mode {vid_mode!r}; one of ['sorted', 'hash']")
+    import time as _time
+
+    phases: dict = {}
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
     if vertices is not None and validate_vertices:
+        t_ph = _time.time()
         assert_endpoints_covered(edges, verts)
+        phases["validate"] = round(_time.time() - t_ph, 3)
+    t_ph = _time.time()
 
     hashed = False
     if vid_mode == "hash" and vmap is None:
@@ -94,22 +108,37 @@ def label_propagation(
         if chk["nv"] == chk["n"]:  # no collision → inline encode, zero joins
             hashed = True
             vmap = verts.select("id", F.xxhash64("id").alias("vid"))
-            und = undirected_edges(edges).select(
-                F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
-            )
+            enc = edges.select(F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"))
     if not hashed:
         # one-time encoding with vids in STRING-sorted order so long-vid
         # tie-breaks ≡ min-string tie-breaks (distributed; no global sort).
         if vmap is None:
             vmap = string_sorted_vids(verts, "id", nparts)
-        und = (
-            undirected_edges(edges)
+        enc = (
+            edges.select("src", "dst")
             .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
             .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
             .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
         )
+    # Symmetrize AFTER the encode, canonically, on LONG pairs (the CC
+    # round-3 lesson): the old string-side undirected_edges() shuffled the
+    # symmetrized multiset (2× the rows at ~5× the bytes) through its
+    # distinct BEFORE the vids existed — measured as the dominant
+    # cache_fill term at sf16. canon is distinct and self-loop-free, so
+    # canon ∪ reverse(canon) IS the symmetric distinct edge set.
+    canon = (
+        enc.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    phases["encode"] = round(_time.time() - t_ph, 3)
+    t_ph = _time.time()
     und = und.repartition(nparts, "src").persist()
     und.count()
+    phases["cache_fill"] = round(_time.time() - t_ph, 3)
 
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
@@ -158,7 +187,7 @@ def label_propagation(
 
     out = _decode(labels, vmap)
     und.unpersist()
-    return LPAResult(labels=out, iterations=it, iter_secs=iter_secs)
+    return LPAResult(labels=out, iterations=it, iter_secs=iter_secs, phase_secs=phases)
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:

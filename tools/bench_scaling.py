@@ -194,21 +194,27 @@ elif op == "cc":
                 "phase_secs": res.phase_secs, "decode_count_sec": decode_sec,
                 "whole_run_eps": round(n_edges * res.iterations / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
-elif op == "lpa":
+elif op in ("lpa", "lpa_hash", "lpa_prod"):
     from pagerank_project_spark.operators.labelprop import label_propagation
-    # hash vid_mode = the production path (inline xxhash64 encode, zero
-    # setup shuffles/joins — CC's round-3 cure applied to LPA). The
-    # sorted-vid oracle path keeps min-STRING tie-breaks for the
-    # code_lpa_communities contract entry; its encode/decode sort tails
-    # are exactly what the round-3 whole-run number (0.79) measured.
-    res = label_propagation(spark, edges, vertices=verts, iterations=4, vid_mode="hash")
+    # 'lpa' = the ledger row: sorted vids (compact 0..n vids delta-compress
+    # in the symmetric edge cache — measured smaller cache AND faster
+    # superstep scans than incompressible xxhash64 vids; see BASELINE.md
+    # round-4 LPA analysis). 'lpa_hash' = the hash-encode diagnostic.
+    # 'lpa_prod' = production-length run (12 supersteps) amortizing the
+    # one-time cache-fill/validate tails, sorted vids.
+    lpa_iters = 12 if op == "lpa_prod" else 4
+    lpa_mode = "hash" if op == "lpa_hash" else "sorted"
+    res = label_propagation(spark, edges, vertices=verts, iterations=lpa_iters, vid_mode=lpa_mode)
+    t_dec = time.time()
     res.labels.select(F.count("*")).collect()
+    decode_sec = round(time.time() - t_dec, 2)
     dt = time.time() - t0
     steady = sorted(res.iter_secs[1:]) or res.iter_secs
     med = steady[len(steady) // 2]
-    out.update({"iters": 4, "wall_sec": round(dt, 2), "iter_secs": res.iter_secs,
-                "sec_per_iter": med,
-                "whole_run_eps": round(n_edges * 4 / dt, 1),
+    out.update({"iters": lpa_iters, "vid_mode": lpa_mode, "wall_sec": round(dt, 2),
+                "iter_secs": res.iter_secs,
+                "sec_per_iter": med, "phase_secs": res.phase_secs, "decode_sec": decode_sec,
+                "whole_run_eps": round(n_edges * lpa_iters / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 print(json.dumps(out))
 """
@@ -248,7 +254,8 @@ OP_LABEL = {
     "prepared": "PageRank relational from PREPARED graph (bucketed edges, zero-exchange)",
     "csr": "PageRank CSR pandas-UDF (salted)",
     "cc": "Connected components (star contraction, to convergence)",
-    "lpa": "Label propagation (4 sync iterations, hash-vid production mode)",
+    "lpa": "Label propagation (4 sync iterations)",
+    "lpa_prod": "Label propagation (12 sync iterations, production-length)",
 }
 
 
