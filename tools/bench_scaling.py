@@ -450,17 +450,39 @@ path (no task buffers a hub's whole neighbor multiset — and star
 contraction CREATES a degree-|C| hub per component by design, so this
 path is what a converged web-scale run actually exercises).
 
-LPA WHOLE-RUN (0.79 vs 0.90 steady-state): a 4-superstep LPA run is
-short enough that the one-time tails dominate the whole-run number —
-the order-preserving string-sorted vid encode (a range exchange +
-per-partition SORT, required for oracle-exact tie-breaks), the
-symmetric-view cache fill, and the min-STRING label decode (SortAggregate
-— string agg buffers aren't hash-agg mutable). Those are exactly the
-sort-bound phases the sf32 A/B measured at ~2.3× N→4N, while the
-supersteps themselves scale at 0.90. A production LPA run (tens of
-supersteps to stability) amortizes the tails the way CC's converged run
-amortizes its setup (whole-run 0.82); at 4 supersteps the engine-wide
-honest number is the steady-state column.
+LPA (round-4 phase-instrumented analysis; raw phase tables in
+scaling.json under lpa_*/lpa_prod_*/lpa_hash_*): the whole-run number is
+governed by the one-time SYMMETRIC-CACHE FILL plus late-superstep cache
+scans, and round 4 both improved and root-caused it.
+(a) HASH-VID A/B — applying CC's zero-shuffle xxhash64 encode to LPA
+made the whole run WORSE (0.71 vs sorted's baseline), and the phase
+table says why: unlike CC star (which rewrites its edge set every
+round), LPA streams ONE long-lived 131M-row symmetric cache every
+superstep, and the vid encoding sets that cache's compressibility —
+compact string-sorted vids delta-compress, random xxhash64 vids don't,
+so hash mode paid a bigger cache (slower fill AND ~20% slower superstep
+scans: 103 vs 82 s/iter at 1×4) to save a 35 s encode. Sorted stays the
+default; vid_mode='hash' remains for encode-dominated shapes.
+(b) CANONICAL LONG-PAIR SYMMETRIZE — the old flow shuffled the
+symmetrized STRING multiset through its distinct before vids existed;
+encoding first and deduping greatest/least LONG pairs (canon ∪ reverse
+IS the symmetric set — the CC shape) cut cache_fill 272→219 s at 1×4
+and 163→81 s at 4×4, taking its N→4N scaling from 1.7× to 3.1× and both
+absolute walls down (698/257 s vs 789/300 s for the 4-superstep run).
+(c) WHAT REMAINS — at 4 supersteps the run is tail+warmup-dominated
+(whole-run 0.68); at production length (lpa_prod, 12 supersteps) the
+tails amortize to whole-run 0.775 with steady-state 0.83. The residual
+gap is a ONE-BOX ceiling, not an engine artifact: the terms that remain
+below 4× are exactly the memory-bandwidth-bound ones — cache fill 3.1×,
+and LATE supersteps (labels stabilized → the map-side-combined agg does
+little CPU work and the superstep degenerates to streaming the 131M-row
+cache: 52 s→16 s, 3.2×) — while every CPU/shuffle-bound term scales
+≥4× (validate 4.3×, early supersteps 0.9 eff). 4 cores and 16 cores
+share the same DRAM bus here; a real 4-node cluster brings 4× the
+aggregate memory bandwidth per the same core ratio. Single-run
+whole-run RATIOS at this scale also carry ±0.05-0.1 run-to-run noise
+(round 3 measured 0.79 on slower code; the steady-state medians are the
+stable signal).
 
 PREPARED GRAPH (round 3, "prepare once, query many"): the
 query-independent build — vid encode joins, out-degree weights,
@@ -475,19 +497,31 @@ prepare cost is reported separately (`prepare_once_sec` in
 scaling.json). Ranks are bitwise-identical to the unprepared path
 (pytest-pinned).
 
-Prepared BUCKET SIZING (measured A/B at sf16): buckets are a persistent
-table property, so they must be sized for the LARGEST target cluster —
-slots-sized buckets (4/16 = exactly the leg's task slots) leave zero
-straggler slack at 4×4 and measured eff 0.67 (one GC'd task stalls the
-whole superstep barrier); 64 buckets (4× the big leg's slots) measured
-eff 0.73 AND a faster absolute on both legs (1×4: 31.9 s/iter vs in-run
-relational's 32.5; 4×4: 10.9 vs 10.2). The table rows carry the
-64-bucket run. The prepared value claim is SETUP amortization, not
-superstep speedup: per-query setup 15 s vs 413 s in-run at 1×4 (27×),
-end-to-end single-query wall 410 s vs 807 s — and the per-superstep rate
-matches the unprepared loop within 7% on both legs while the one-time
-prepare (433 s at 1×4, shared by every subsequent query and session)
-replaces the encode+sort every run would otherwise pay.
+Prepared BUCKET SIZING + the steady-state gap ROOT-CAUSED (round-4
+controlled A/Bs at sf16, rows relational_fixed_* / prepared_repart_* in
+scaling.json): the prepared loop's 0.73 N→4N efficiency vs the in-run
+loop's 0.80 is NOT a property of the bucketed layout. Three cells pin
+it: (1) the plain in-run build with its loop PINNED to the table's 64
+partitions at both legs — no bucketed table anywhere — reproduces most
+of the gap (eff 0.753): a fixed-bucket table runs 64 tasks/stage on
+both legs, so constant per-task overhead is the same absolute cost on
+both legs while the compute term scales, i.e. the overhead FRACTION at
+4×4 is 4× the 1×4 one by construction. (2) Loading the 64-bucket table
+and repartitioning to the leg's task slots (pagerank's buckets≠nparts
+branch) recovers in-run efficiency (0.772 vs 0.797, within single-run
+noise) while keeping the prepared value claim: setup 37 s vs the in-run
+377 s (10×; the zero-exchange path's 15 s remains the floor). (3) The
+64-bucket zero-exchange path still posts the FASTEST absolute superstep
+on both legs (31.9/10.9 s/iter vs in-run 32.5/10.2) — the 'gap' is a
+ratio artifact of fixed task count, not a slowdown. Deployment rule
+that falls out: size buckets for the LARGEST target cluster (slots-sized
+buckets additionally measured 0.67 — zero straggler slack); a smaller
+cluster querying the same table either eats the wave arithmetic (still
+the fastest absolute here) or repartitions at load for one extra
+shuffle. The prepared value claim is SETUP amortization, not superstep
+speedup: per-query setup 15 s vs 413 s in-run at 1×4 (27×), end-to-end
+single-query wall 410 s vs 807 s, one-time prepare 433 s shared by every
+subsequent query and session.
 
 ARROW BATCH SWEEP (round-2 verdict item 5 — the CSR-vs-relational gap
 at 1×4): `spark.sql.execution.arrow.maxRecordsPerBatch` swept over two
