@@ -187,6 +187,38 @@ single-task full sort of the candidate set.""",
         fmt(link_prediction_topk(spark, lp_edges, k=50)),
     ))
 
+    # --- 7. repetition profile (round 4) ------------------------------------
+    from pagerank_project_spark.operators.textstats import repetition_profile
+
+    docs = spark.read.parquet(f"{fix.rstrip('/')}/source_table/data").select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    sections.append((
+        "Repetition profile: row-local line metrics + doc-keyed bigram mode",
+        """What to verify: the line/paragraph duplicate fractions live in a
+plain `Project` inside `WholeStageCodegen` directly over the scan —
+split/trim/array_distinct/aggregate are row-local expressions, NO
+Exchange and NO Python. Only the top-bigram mode shuffles: two
+`HashAggregate` pairs (partial below each `Exchange`, map-side
+combined) keyed by (doc_id, bigram) then doc_id, and one join back on
+doc_id. A document never leaves its row except as bounded
+per-(doc, bigram) partial counts.""",
+        fmt(repetition_profile(docs)),
+    ))
+
+    # --- 8. PII scrub (round 4) ---------------------------------------------
+    from pagerank_project_spark.operators.pii import pii_scrub
+
+    sections.append((
+        "PII scrub: one codegen'd projection, zero shuffle",
+        """What to verify: the whole operator is ONE `Project` in a single
+`WholeStageCodegen` span over the scan — regexp_replace chains and
+per-class regexp_extract_all counts ride the same pass; no Exchange, no
+UDF, nothing Python. At 100 TB this is scan-bandwidth-bound by
+construction.""",
+        fmt(pii_scrub(docs)),
+    ))
+
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plans of the hot paths (generated by tools/explain_plans.py)\n\n"
