@@ -137,6 +137,27 @@ def q_pagerank_k3_personalized(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_k3_weighted(spark, sf_dir):
+    """Weighted-transition PageRank (engine extension of reference op-7:
+    P row-normalized over a strictly-positive edge-weight column instead
+    of uniform 1/outdeg), 3 fixed textbook iterations. Weights are the
+    integer-valued lineitem quantities, so the per-src normalizers sum
+    EXACTLY in float64 on both engines."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    e = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_quantity").alias("wt"),
+    )
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, e, cfg=cfg, weight_col="wt")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_k3_prepared(spark, sf_dir):
     """The SAME fixed-3-iteration textbook PageRank as pagerank_k3, but
     run from a PREPARED persistent graph (plans/prepared_graph): prepare
@@ -286,6 +307,15 @@ def q_bigram_lm(spark, sf_dir):
     from pagerank_project_spark.operators.textstats import bigram_lm_stats
 
     return bigram_lm_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lm_surprisal(spark, sf_dir):
+    """Per-doc mean bigram surprisal under the corpus's own LM — the
+    CCNet-style quality signal; p is an exact integer ratio, the per-doc
+    mean of −ln p moves ≲1e-13 across libms, far inside the 6dp round."""
+    from pagerank_project_spark.operators.textstats import lm_surprisal
+
+    return lm_surprisal(_t(spark, sf_dir, "documents"))
 
 
 def q_quality_filter(spark, sf_dir):
@@ -722,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "tfidf_topk": q_tfidf_topk,
         "quality_filter": q_quality_filter,
+        "pagerank_k3_weighted": q_pagerank_k3_weighted,
+        "lm_surprisal": q_lm_surprisal,
         "repetition_profile": q_repetition_profile,
         "quality_filter_rep": q_quality_filter_rep,
         "pii_scrub": q_pii_scrub,
@@ -761,7 +793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _pagerank_k3_sql(
-    e_sql: str | None = None, v_sql: str | None = None, pv_pred_sql: str | None = None
+    e_sql: str | None = None,
+    v_sql: str | None = None,
+    pv_pred_sql: str | None = None,
+    wt_sql: str | None = None,
 ) -> str:
     """Unrolled 3-iteration textbook PageRank (standard mode: v L1, x L1;
     x0 = 1/√n; same per-iteration dataflow as pagerank.py:100-139).
@@ -769,16 +804,20 @@ def _pagerank_k3_sql(
     the customer→supplier graph with endpoint-derived vertices);
     pv_pred_sql is an optional personalization indicator expression over
     ``id`` (reference make_personalization_vector, pagerank.py:81-97 —
-    L1-normalized; None → uniform 1/n)."""
+    L1-normalized; None → uniform 1/n); wt_sql is an optional edge-weight
+    expression over ``e`` — P is then row-normalized over the weights
+    (operators/pagerank.weighted_edges extension) instead of 1/outdeg."""
     e_sql = e_sql or CS_EDGES_SQL
     v_sql = v_sql or "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)"
     vraw = pv_pred_sql or "1.0"
+    od_expr = "COUNT(*)::DOUBLE" if wt_sql is None else f"SUM({wt_sql})::DOUBLE"
+    w_expr = "1.0/od.d" if wt_sql is None else f"({wt_sql})::DOUBLE/od.d"
     head = f"""
 WITH e AS ({e_sql}),
 v AS ({v_sql}),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
-od AS (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
-w AS (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+od AS (SELECT src, {od_expr} AS d FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, {w_expr} AS w FROM e JOIN od USING (src)),
 vraw AS (SELECT id, ({vraw})::DOUBLE AS vr FROM v),
 vn AS (SELECT id, vr / (SELECT SUM(vr) FROM vraw) AS vw FROM vraw),
 x0 AS (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
@@ -1448,6 +1487,26 @@ SELECT (SELECT c FROM nv) AS n_vertices,
 """,
         "pagerank_k3": _pagerank_k3_sql(),
         "pagerank_k3_prepared": _pagerank_k3_sql(),
+        "pagerank_k3_weighted": _pagerank_k3_sql(
+            e_sql="""
+  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, l_quantity AS wt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+            wt_sql="wt",
+        ),
+        "lm_surprisal": f"""
+WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
+bg AS (
+  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+c AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c)::BIGINT AS ctx FROM c GROUP BY 1),
+lm AS (SELECT w1, w2, c::DOUBLE / ctx AS p FROM c JOIN ctx USING (w1))
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, ROUND(AVG(-ln(p)), 6) AS avg_surprisal
+FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
+""",
         "pagerank_k3_personalized": _pagerank_k3_sql(
             pv_pred_sql="CASE WHEN id LIKE '%1%' THEN 1.0 ELSE 0.0 END"
         ),

@@ -101,19 +101,49 @@ def apply_filter_ratio(edges: DataFrame, n_vertices: int, ratio: float) -> DataF
     )
 
 
-def weighted_edges(edges: DataFrame, n_vertices: int | None = None) -> DataFrame:
-    """Transition weights w = 1/outdeg(src) per edge (pagerank.py:50-61).
+def weighted_edges(
+    edges: DataFrame, n_vertices: int | None = None, weight_col: str | None = None
+) -> DataFrame:
+    """Transition weights per edge (pagerank.py:50-61).
 
-    Parallel edges each carry 1/outdeg — their additive coalescing
-    (torch COO semantics, pagerank.py:63-67) falls out of the Σ in the
-    superstep. Broadcast the out-degree table only when |V| permits.
+    Default (reference semantics): w = 1/outdeg(src); parallel edges each
+    carry 1/outdeg — their additive coalescing (torch COO semantics,
+    pagerank.py:63-67) falls out of the Σ in the superstep.
+
+    ``weight_col`` (engine extension beyond the reference's uniform
+    column-stochastic P): w_ij = weight_ij / Σ_j weight_ij — a weighted
+    link graph (click counts, anchor multiplicities) row-normalized the
+    same way. Weights must be strictly positive: a zero/negative weight
+    would silently corrupt the stochasticity of P, so it raises at the
+    first action (raise_error riding the projection). A src whose edges
+    exist only with weight 0 can't occur under that guard, so dangling
+    detection (no surviving out-edge) is unchanged.
+
+    Physical shape is identical either way: one map-side-combined groupBy
+    on src for the normalizer, then a join that broadcasts only when |V|
+    permits.
     """
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    if weight_col is None:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("_outdeg"))
+        e = edges
+    else:
+        wt = F.when(
+            F.col(weight_col) > 0, F.col(weight_col).cast("double")
+        ).otherwise(F.raise_error(F.format_string(
+            "weighted pagerank requires strictly positive weights; got %s", F.col(weight_col)
+        )))
+        e = edges.select("src", "dst", wt.alias("_wt"))
+        outdeg = e.groupBy("src").agg(F.sum("_wt").alias("_outdeg"))
     if n_vertices is None or n_vertices <= BROADCAST_VERTEX_LIMIT:
         outdeg = F.broadcast(outdeg)
+    if weight_col is None:
+        return (
+            e.join(outdeg, "src", "inner")
+            .select("src", "dst", (F.lit(1.0) / F.col("_outdeg")).alias("w"))
+        )
     return (
-        edges.join(outdeg, "src", "inner")
-        .select("src", "dst", (F.lit(1.0) / F.col("_outdeg")).alias("w"))
+        e.join(outdeg, "src", "inner")
+        .select("src", "dst", (F.col("_wt") / F.col("_outdeg")).alias("w"))
     )
 
 
@@ -125,12 +155,16 @@ def pagerank(
     v_expr: Column | None = None,
     checkpoint_store=None,
     prepared=None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src: string, dst: string).
 
     v_expr: optional personalization indicator over the vertex ``id``
     column (1.0/0.0), reference make_personalization_vector semantics
     (pagerank.py:81-97). None → uniform.
+    weight_col: optional strictly-positive edge-weight column —
+    P becomes the row-normalized WEIGHTED transition matrix
+    (see ``weighted_edges``); None keeps reference 1/outdeg semantics.
     checkpoint_store: optional plans.checkpoint.CheckpointStore — iteration
     state + metrics written per superstep; pass a store with a populated
     latest iteration to RESUME mid-run.
@@ -149,6 +183,9 @@ def pagerank(
     if prepared is not None and cfg.filter_ratio is not None:
         raise ValueError("filter_ratio is baked into the prepared graph at prepare time; "
                          "pass it to prepare_graph, not the query")
+    if prepared is not None and weight_col is not None:
+        raise ValueError("edge weights are baked into the prepared graph at prepare time; "
+                         "pass weight_col to prepare_graph, not the query")
 
     nparts = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -172,11 +209,15 @@ def pagerank(
 
             assert_endpoints_covered(edges, verts)
 
-        e = edges.select("src", "dst")
+        e = (
+            edges.select("src", "dst")
+            if weight_col is None
+            else edges.select("src", "dst", weight_col)
+        )
         if cfg.filter_ratio is not None:
             e = apply_filter_ratio(e, n, cfg.filter_ratio)
 
-        ew_str = weighted_edges(e, n)
+        ew_str = weighted_edges(e, n, weight_col=weight_col)
 
         # dangling indicator: vertices with no surviving out-edge (pagerank.py:104-107)
         dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")

@@ -273,6 +273,48 @@ def repetition_profile(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def lm_surprisal(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's OWN bigram
+    MLE model — the CCNet-style LM quality signal (documents whose word
+    transitions are improbable under the corpus model are boilerplate,
+    lists, or noise): score(d) = mean over d's bigrams of −ln p(w2|w1),
+    with p = c(w1,w2)/c(w1,·) from ``bigram_lm_stats``'s dataflow.
+
+    → (doc_id, n_bigrams, avg_surprisal). Docs with < 2 tokens have no
+    bigrams and are absent (mirror that in any oracle).
+
+    Scale shape: the corpus LM (c, ctx) is two map-side-combined groupBys;
+    the per-doc bigram stream joins the LM on (w1, w2) — a SHUFFLE join
+    (the LM table is |bigram vocab| rows, never broadcast at web scale) —
+    then one map-side-combined per-doc agg. Every doc bigram exists in
+    the model by construction (the model came from the same corpus), so
+    the join is inner and lossless. Cross-engine: p is an exact integer
+    ratio; ln() can differ by 1 ulp between libms, but the per-doc MEAN
+    of ~10²-10⁴ such terms moves ≲1e-13 relative — far inside the 6dp
+    round (the tfidf lesson applied to a sum instead of a rank)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    cnt = F.size(toks) - 1
+    pairs = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("s")).select(
+        "doc_id", "s.w1", "s.w2"
+    )
+    c = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = c.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    lm = c.join(ctx, "w1").select("w1", "w2", (F.col("c") / F.col("ctx")).alias("p"))
+    return (
+        doc_bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("avg_surprisal"),
+        )
+    )
+
+
 def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus bigram language-model statistics: (w1, w2, c, p) where c is
     the corpus bigram count (MULTISET — LM counts, unlike dedup's distinct

@@ -64,6 +64,7 @@ def prepare_graph(
     vertices: DataFrame | None = None,
     buckets: int | None = None,
     filter_ratio: float | None = None,
+    weight_col: str | None = None,
 ) -> PreparedGraph:
     """Build and persist the query-independent graph state; returns the
     loaded PreparedGraph (reading back what was written, so callers hold
@@ -83,10 +84,10 @@ def prepare_graph(
     if vertices is not None:
         assert_endpoints_covered(edges, verts)
 
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst") if weight_col is None else edges.select("src", "dst", weight_col)
     if filter_ratio is not None:
         e = apply_filter_ratio(e, n, filter_ratio)
-    ew_str = weighted_edges(e, n)
+    ew_str = weighted_edges(e, n, weight_col=weight_col)
 
     vmap = encode_or_fallback(verts, "id", buckets)
     dang = verts.join(ew_str.select("src").distinct(), verts.id == F.col("src"), "left_anti")

@@ -303,3 +303,105 @@ def test_lpa_hash_mode_zero_encode_joins(spark):
     )
     plan = enc._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+# --------------------------------------------------------------------------
+# weighted-transition PageRank
+# --------------------------------------------------------------------------
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    rows = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    ew = spark.createDataFrame(rows, "src string, dst string, wt double")
+    cfg = PageRankConfig(mode="standard", epsilon=1e-300, max_iterations=4)
+    got_w = {r["id"]: r["rank"] for r in pagerank(spark, ew, cfg=cfg, weight_col="wt").ranks.collect()}
+    got_u = {r["id"]: r["rank"] for r in pagerank(spark, ew.select("src", "dst"), cfg=cfg).ranks.collect()}
+    assert got_w == got_u  # bitwise: unit weights are exactly 1/outdeg
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    rows = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "a", 5.0), ("d", "a", 4.0)]
+    ew = spark.createDataFrame(rows, "src string, dst string, wt double")
+    cfg = PageRankConfig(mode="standard", alpha=0.85, epsilon=1e-300, max_iterations=6)
+    got = {r["id"]: r["rank"] for r in pagerank(spark, ew, cfg=cfg, weight_col="wt").ranks.collect()}
+
+    ids = sorted({x for r in rows for x in r[:2]} | {"e"} - {"e"})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    P = np.zeros((n, n))
+    for s, d, w in rows:
+        P[idx[d], idx[s]] += w
+    col = P.sum(axis=0)
+    dang = col == 0
+    P[:, ~dang] /= col[~dang]
+    v = np.ones(n) / n
+    x = np.ones(n) / np.sqrt(n)
+    for _ in range(6):
+        nx = 0.85 * P @ x + (0.85 * x[dang].sum() + 0.15) * v
+        x = nx / np.abs(nx).sum()
+    for vtx, i in idx.items():
+        assert abs(got[vtx] - x[i]) < 1e-12
+
+
+def test_weighted_pagerank_nonpositive_weight_raises(spark):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+
+    ew = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 0.0)], "src string, dst string, wt double"
+    )
+    cfg = PageRankConfig(mode="standard", epsilon=1e-300, max_iterations=2)
+    with pytest.raises(Exception, match="strictly positive"):
+        pagerank(spark, ew, cfg=cfg, weight_col="wt").ranks.collect()
+
+
+def test_weighted_prepared_query_time_weight_raises(spark, tmp_path):
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.plans.prepared_graph import prepare_graph
+
+    e = edges_df(spark, [("a", "b"), ("b", "a")])
+    pg = prepare_graph(spark, e, str(tmp_path / "pg"))
+    with pytest.raises(ValueError, match="baked into the prepared graph"):
+        pagerank(spark, cfg=PageRankConfig(max_iterations=1), prepared=pg, weight_col="wt")
+
+
+# --------------------------------------------------------------------------
+# LM surprisal
+# --------------------------------------------------------------------------
+
+def test_lm_surprisal_matches_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from pagerank_project_spark.operators.textstats import lm_surprisal
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat",
+        4: "single",  # 1 token → no bigrams → absent from output
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_surprisal"]) for r in lm_surprisal(docs).collect()}
+
+    bgs = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c = Counter(b for lst in bgs.values() for b in lst)
+    ctx = Counter()
+    for (w1, _), k in c.items():
+        ctx[w1] += k
+    for d, lst in bgs.items():
+        if not lst:
+            assert d not in got
+            continue
+        want = sum(-math.log(c[b] / ctx[b[0]]) for b in lst) / len(lst)
+        n, avg = got[d]
+        assert n == len(lst)
+        assert abs(avg - round(want, 6)) <= 1e-6
