@@ -164,8 +164,18 @@ def label_propagation(
         w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
         for it in range(start_iter + 1, iterations + 1):
             t_it = time.time()
+            # shuffle_hash on the LABEL side (pagerank.py's superstep rule):
+            # un-hinted, Catalyst either auto-broadcasts the checkpointed
+            # |V|-row label vector (driver-serial HashedRelation build per
+            # superstep — the round-1 pagerank non-scaling bug) or falls to
+            # an SMJ that re-SORTS the cached symmetric edge multiset every
+            # superstep. The hash join streams the pre-partitioned cache
+            # and shuffles only the label rows.
             nbr = (
-                und.join(labels.select(F.col("vid").alias("_sv"), "lbl"), und.src == F.col("_sv"))
+                und.join(
+                    labels.select(F.col("vid").alias("_sv"), "lbl").hint("shuffle_hash"),
+                    und.src == F.col("_sv"),
+                )
                 .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
             )
             keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))  # isolated keep own
