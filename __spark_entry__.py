@@ -562,6 +562,59 @@ def q_code_triangles(spark, sf_dir):
     return spark.createDataFrame([(res.total,)], "n_triangles long")
 
 
+def q_code_modularity(spark, sf_dir):
+    """Newman modularity of the LPA-4 partition over the code graph —
+    partition-quality metric for the community detector; exact-integer
+    sufficient statistics keep the DuckDB compare deterministic."""
+    from pagerank_project_spark.operators.graphmetrics import modularity
+    from pagerank_project_spark.operators.labelprop import label_propagation
+
+    edges, verts = _code_graph(spark, sf_dir)
+    res = label_propagation(spark, edges, vertices=verts, iterations=4)
+    return modularity(spark, edges, res.labels)
+
+
+def q_code_graph_profile(spark, sf_dir):
+    """Degree assortativity + reciprocity of the code link graph."""
+    from pagerank_project_spark.operators.graphmetrics import mixing_profile
+
+    edges, _ = _code_graph(spark, sf_dir)
+    return mixing_profile(spark, edges)
+
+
+def q_code_bfs_depths(spark, sf_dir):
+    """Directed hop distance from each repo's entry file (multi-source
+    frontier BFS, 8 rounds) — crawl-depth / link-distance features."""
+    from pagerank_project_spark.operators.traversal import bfs_distances
+
+    edges, verts = _code_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").like(BFS_SEED_LIKE))
+    return bfs_distances(spark, edges, seeds, max_iterations=8).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_code_random_walks(spark, sf_dir):
+    """Deterministic md5-argmin random walks (5 steps) from each repo's
+    entry file — DeepWalk-style sequence corpus, cross-engine exact."""
+    from pagerank_project_spark.operators.traversal import random_walks
+
+    edges, verts = _code_graph(spark, sf_dir)
+    starts = verts.filter(F.col("id").like(BFS_SEED_LIKE))
+    return random_walks(spark, edges, starts, steps=5).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "id"
+    )
+
+
+def q_code_module_graph(spark, sf_dir):
+    """File-level edges collapsed to the module (directory) quotient graph
+    with edge weights — the host-graph collapse of a web corpus."""
+    from pagerank_project_spark.operators.traversal import quotient_graph
+
+    edges, _ = _code_graph(spark, sf_dir)
+    return quotient_graph(edges, "regexp_replace({v}, '/[^/]+$', '')")
+
+
 def q_synonym_topk(spark, sf_dir):
     """Corpus-derived synonym table (PPMI-cosine, the GloVe stand-in for
     reference op-20 query expansion) — fully SQL-expressible."""
@@ -773,6 +826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_cc_sizes": q_code_cc_sizes,
         "code_lpa_communities": q_code_lpa_communities,
         "code_triangles": q_code_triangles,
+        "code_modularity": q_code_modularity,
+        "code_graph_profile": q_code_graph_profile,
+        "code_bfs_depths": q_code_bfs_depths,
+        "code_random_walks": q_code_random_walks,
+        "code_module_graph": q_code_module_graph,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1394,9 +1452,11 @@ SELECT kind, COUNT(*)::BIGINT AS n_edges FROM all_e GROUP BY kind ORDER BY kind
 """
 
 
-def _code_lpa_sql(fix: str, iterations: int = 4) -> str:
+def _code_lpa_body(fix: str, iterations: int = 4) -> str:
     """Unrolled synchronous LPA (neighbor-label frequency, ties → min
-    string label; isolated keep own) → community-size histogram."""
+    string label; isolated keep own) as a WITH-chain ending at
+    l{iterations} — composed by both the community-histogram oracle and
+    the modularity oracle."""
     head = f"""
 WITH e AS ({_code_e_sql(fix)}),
 ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
@@ -1420,12 +1480,153 @@ f{k} AS (
   ) WHERE rn = 1
 )
 """
-    tail = f"""
+    return head + body
+
+
+def _code_lpa_sql(fix: str, iterations: int = 4) -> str:
+    return (
+        _code_lpa_body(fix, iterations)
+        + f"""
 SELECT size, COUNT(*)::BIGINT AS n_communities FROM (
   SELECT lbl, COUNT(*)::BIGINT AS size FROM l{iterations} GROUP BY lbl
 ) GROUP BY size
 """
-    return head + body + tail
+    )
+
+
+def _code_modularity_sql(fix: str, iterations: int = 4) -> str:
+    """Newman Q of the LPA-{iterations} partition — mirrors
+    operators/graphmetrics.modularity term for term: exact BIGINT
+    sufficient statistics, the double closed form applied once."""
+    return (
+        _code_lpa_body(fix, iterations)
+        + f""",
+m_lab AS (SELECT id, lbl AS label FROM l{iterations}),
+m_canon AS (SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2 FROM e WHERE src <> dst),
+m_both AS (
+  SELECT la.label AS c1, lb.label AS c2
+  FROM m_canon JOIN m_lab la ON m_canon.s1 = la.id JOIN m_lab lb ON m_canon.s2 = lb.id
+),
+m_halves AS (
+  SELECT c1 AS label, (c1 = c2)::BIGINT AS i FROM m_both
+  UNION ALL SELECT c2, (c1 = c2)::BIGINT FROM m_both
+),
+m_per_c AS (SELECT label, COUNT(*)::BIGINT AS d_c, SUM(i)::BIGINT AS e2_c FROM m_halves GROUP BY label),
+m_tot AS (
+  SELECT COUNT(*)::BIGINT AS n_communities, SUM(d_c)::BIGINT AS sum_d,
+         SUM(e2_c)::BIGINT AS sum_e2, SUM(d_c * d_c)::BIGINT AS sum_d2
+  FROM m_per_c
+)
+SELECT (sum_d / 2)::BIGINT AS n_edges_und, n_communities,
+       ROUND((sum_e2 / 2) / (sum_d / 2) - sum_d2 / (4.0 * (sum_d / 2) * (sum_d / 2)), 6) AS modularity
+FROM m_tot
+"""
+    )
+
+
+def _code_mixing_profile_sql(fix: str) -> str:
+    """operators/graphmetrics.mixing_profile in DuckDB — same exact
+    integer sufficient statistics, same closed forms."""
+    return f"""
+WITH e AS ({_code_e_sql(fix)}),
+canon AS (SELECT DISTINCT least(src, dst) AS s1, greatest(src, dst) AS s2 FROM e WHERE src <> dst),
+deg AS (
+  SELECT id, COUNT(*)::BIGINT AS deg
+  FROM (SELECT s1 AS id FROM canon UNION ALL SELECT s2 FROM canon) GROUP BY id
+),
+sym AS (SELECT s1, s2 FROM canon UNION ALL SELECT s2 AS s1, s1 AS s2 FROM canon),
+pr AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM sym JOIN deg dx ON sym.s1 = dx.id JOIN deg dy ON sym.s2 = dy.id
+),
+st AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(dx)::BIGINT AS sx, SUM(dy)::BIGINT AS sy,
+         SUM(dx * dy)::BIGINT AS sxy, SUM(dx * dx)::BIGINT AS sxx, SUM(dy * dy)::BIGINT AS syy
+  FROM pr
+),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+rev AS (SELECT dst AS a, src AS b, 1 AS r FROM ed),
+rc AS (
+  SELECT COUNT(*)::BIGINT AS n_dir, COALESCE(SUM(r), 0)::BIGINT AS n_recip
+  FROM ed LEFT JOIN rev ON ed.src = rev.a AND ed.dst = rev.b
+)
+SELECT (n / 2)::BIGINT AS n_edges_und,
+  ROUND(CASE WHEN sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE) <> 0
+        THEN (n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)) END, 6) AS assortativity,
+  n_dir AS n_edges_directed,
+  ROUND(n_recip / n_dir::DOUBLE, 6) AS reciprocity
+FROM st, rc
+"""
+
+
+BFS_SEED_LIKE = "%:src/mod0/file0"  # each repo's entry file (one seed per repo)
+
+
+def _code_bfs_sql(fix: str, rounds: int = 8) -> str:
+    """Unrolled multi-source directed BFS (min-relaxation — equals
+    operators/traversal.bfs_distances' frontier algorithm for dist ≤
+    rounds)."""
+    head = f"""
+WITH e AS ({_code_e_sql(fix)}),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+v AS ({_code_v_sql(fix)}),
+b0 AS (SELECT id, 0::BIGINT AS dist FROM v WHERE id LIKE '{BFS_SEED_LIKE}')
+"""
+    body = ""
+    for k in range(1, rounds + 1):
+        body += f""",
+b{k} AS (
+  SELECT id, MIN(dist)::BIGINT AS dist FROM (
+    SELECT id, dist FROM b{k - 1}
+    UNION ALL SELECT ed.dst AS id, b{k - 1}.dist + 1 FROM ed JOIN b{k - 1} ON ed.src = b{k - 1}.id
+  ) GROUP BY id
+)
+"""
+    return head + body + f"\nSELECT id, dist FROM b{rounds}"
+
+
+def _code_walks_sql(fix: str, steps: int = 5) -> str:
+    """Unrolled deterministic md5-argmin random walks — mirrors
+    operators/traversal.random_walks (same hash, same (rk, dst)
+    tie-break)."""
+    head = f"""
+WITH e AS ({_code_e_sql(fix)}),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+v AS ({_code_v_sql(fix)}),
+w0 AS (SELECT id AS walk_id, id AS cur FROM v WHERE id LIKE '{BFS_SEED_LIKE}')
+"""
+    body = ""
+    for t in range(1, steps + 1):
+        body += f""",
+w{t} AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT w.walk_id, ed.dst,
+      row_number() OVER (
+        PARTITION BY w.walk_id
+        ORDER BY md5(w.walk_id || '|{t}|' || ed.dst), ed.dst
+      ) AS rn
+    FROM ed JOIN w{t - 1} w ON ed.src = w.cur
+  ) WHERE rn = 1
+)
+"""
+    tail = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t}::BIGINT AS step, cur AS id FROM w{t}" for t in range(steps + 1)
+    )
+    return head + body + "\n" + tail
+
+
+def _code_module_graph_sql(fix: str) -> str:
+    return f"""
+WITH e AS ({_code_e_sql(fix)}),
+g AS (
+  SELECT regexp_replace(src, '/[^/]+$', '') AS src_group,
+         regexp_replace(dst, '/[^/]+$', '') AS dst_group
+  FROM e
+)
+SELECT src_group, dst_group, COUNT(*)::BIGINT AS weight
+FROM g WHERE src_group <> dst_group GROUP BY src_group, dst_group
+"""
 
 
 def _code_triangles_sql(fix: str) -> str:
@@ -1669,4 +1870,9 @@ def _code_oracles() -> dict[str, str]:
         "code_cc_sizes": _cc_sizes_sql(_code_e_sql(fix), _code_v_sql(fix), cc_rounds),
         "code_lpa_communities": _code_lpa_sql(fix, iterations=4),
         "code_triangles": _code_triangles_sql(fix),
+        "code_modularity": _code_modularity_sql(fix, iterations=4),
+        "code_graph_profile": _code_mixing_profile_sql(fix),
+        "code_bfs_depths": _code_bfs_sql(fix, rounds=8),
+        "code_random_walks": _code_walks_sql(fix, steps=5),
+        "code_module_graph": _code_module_graph_sql(fix),
     }
