@@ -615,6 +615,39 @@ def q_code_module_graph(spark, sf_dir):
     return quotient_graph(edges, "regexp_replace({v}, '/[^/]+$', '')")
 
 
+def q_code_spam_mass(spark, sf_dir):
+    """TrustRank spam mass over the code graph: trusted seeds = each
+    repo's entry file; k=3 fixed textbook iterations so both PageRank
+    vectors unroll in SQL. rank/trust round to 6dp FIRST and the mass is
+    computed from the rounded doubles on BOTH engines — the division is
+    then IEEE-identical, not just ulp-close."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.trust import spam_mass
+
+    edges, verts = _code_graph(spark, sf_dir)
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    sm = spam_mass(
+        spark, edges,
+        trusted_expr=F.col("id").like(BFS_SEED_LIKE),
+        vertices=verts, cfg=cfg,
+    )
+    return sm.select(
+        "id", F.round("rank", 6).alias("rank"), F.round("trust", 6).alias("trust")
+    ).withColumn(
+        "spam_mass", F.round((F.col("rank") - F.col("trust")) / F.col("rank"), 6)
+    )
+
+
+def q_code_bowtie(spark, sf_dir):
+    """Broder bowtie regions relative to the entry-file seed set (8-hop
+    cap, full vertex table so isolated files classify as 'disc')."""
+    from pagerank_project_spark.operators.traversal import bowtie_membership
+
+    edges, verts = _code_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").like(BFS_SEED_LIKE))
+    return bowtie_membership(spark, edges, seeds, vertices=verts, max_iterations=8)
+
+
 def q_synonym_topk(spark, sf_dir):
     """Corpus-derived synonym table (PPMI-cosine, the GloVe stand-in for
     reference op-20 query expansion) — fully SQL-expressible."""
@@ -831,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_bfs_depths": q_code_bfs_depths,
         "code_random_walks": q_code_random_walks,
         "code_module_graph": q_code_module_graph,
+        "code_spam_mass": q_code_spam_mass,
+        "code_bowtie": q_code_bowtie,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1616,6 +1651,83 @@ w{t} AS (
     return head + body + "\n" + tail
 
 
+def _spam_mass_k3_sql(e_sql: str, v_sql: str, seed_pred_sql: str) -> str:
+    """Two unrolled 3-iteration textbook PageRank chains (uniform
+    teleport p*, seed teleport t*) sharing one edge/weight scan, then
+    spam mass from the 6dp-ROUNDED vectors — mirrors
+    operators/trust.spam_mass at q_code_spam_mass's rounding contract."""
+    head = f"""
+WITH e AS MATERIALIZED ({e_sql}),
+v AS MATERIALIZED ({v_sql}),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+od AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+w AS MATERIALIZED (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+uvn AS (SELECT id, 1.0/nn.n AS vw FROM v, nn),
+svraw AS (SELECT id, ({seed_pred_sql})::DOUBLE AS vr FROM v),
+svn AS (SELECT id, vr / (SELECT SUM(vr) FROM svraw) AS vw FROM svraw),
+px0 AS MATERIALIZED (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn),
+tx0 AS MATERIALIZED (SELECT id, 1.0/sqrt(nn.n) AS x FROM v, nn)
+"""
+    body = ""
+    for pre, vn in (("p", "uvn"), ("t", "svn")):
+        for k in range(3):
+            p, c = f"{pre}x{k}", f"{pre}x{k + 1}"
+            body += f""",
+{pre}dang{k} AS (SELECT COALESCE(SUM(x.x), 0) AS dm FROM {p} x LEFT JOIN od ON x.id = od.src WHERE od.src IS NULL),
+{pre}con{k} AS (SELECT w.dst AS id, SUM(w.w * x.x) AS c FROM w JOIN {p} x ON w.src = x.id GROUP BY w.dst),
+{pre}raw{k} AS MATERIALIZED (
+  SELECT v.id, {ALPHA}*COALESCE(c.c, 0) + ({ALPHA}*d.dm + {1 - ALPHA})*vn.vw AS x
+  FROM v LEFT JOIN {pre}con{k} c ON v.id = c.id JOIN {vn} vn ON vn.id = v.id, {pre}dang{k} d
+),
+{c} AS MATERIALIZED (SELECT id, x / (SELECT SUM(abs(x)) FROM {pre}raw{k}) AS x FROM {pre}raw{k})
+"""
+    tail = """
+SELECT id, rank, trust, ROUND((rank - trust) / rank, 6) AS spam_mass FROM (
+  SELECT p.id, ROUND(p.x, 6) AS rank, ROUND(t.x, 6) AS trust
+  FROM px3 p JOIN tx3 t USING (id)
+)
+"""
+    return head + body + tail
+
+
+def _code_bowtie_sql(fix: str, rounds: int = 8) -> str:
+    """Two unrolled reachable-set chains (forward from seeds, backward
+    over the transposed edges) then the 4-way region CASE — mirrors
+    operators/traversal.bowtie_membership."""
+    head = f"""
+WITH e AS MATERIALIZED ({_code_e_sql(fix)}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+v AS MATERIALIZED ({_code_v_sql(fix)}),
+f0 AS MATERIALIZED (SELECT id FROM v WHERE id LIKE '{BFS_SEED_LIKE}'),
+g0 AS MATERIALIZED (SELECT id FROM v WHERE id LIKE '{BFS_SEED_LIKE}')
+"""
+    body = ""
+    for k in range(1, rounds + 1):
+        body += f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM f{k - 1}
+    UNION ALL SELECT ed.dst AS id FROM ed JOIN f{k - 1} ON ed.src = f{k - 1}.id
+  )
+),
+g{k} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM g{k - 1}
+    UNION ALL SELECT ed.src AS id FROM ed JOIN g{k - 1} ON ed.dst = g{k - 1}.id
+  )
+)
+"""
+    tail = f"""
+SELECT v.id,
+  CASE WHEN f.id IS NOT NULL AND g.id IS NOT NULL THEN 'core'
+       WHEN g.id IS NOT NULL THEN 'in'
+       WHEN f.id IS NOT NULL THEN 'out'
+       ELSE 'disc' END AS region
+FROM v LEFT JOIN f{rounds} f ON v.id = f.id LEFT JOIN g{rounds} g ON v.id = g.id
+"""
+    return head + body + tail
+
+
 def _code_module_graph_sql(fix: str) -> str:
     return f"""
 WITH e AS ({_code_e_sql(fix)}),
@@ -1875,4 +1987,9 @@ def _code_oracles() -> dict[str, str]:
         "code_bfs_depths": _code_bfs_sql(fix, rounds=8),
         "code_random_walks": _code_walks_sql(fix, steps=5),
         "code_module_graph": _code_module_graph_sql(fix),
+        "code_spam_mass": _spam_mass_k3_sql(
+            _code_e_sql(fix), _code_v_sql(fix),
+            f"id LIKE '{BFS_SEED_LIKE}'",
+        ),
+        "code_bowtie": _code_bowtie_sql(fix, rounds=8),
     }

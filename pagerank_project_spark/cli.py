@@ -36,8 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--algorithm",
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering", "linkpred"],
+        choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering",
+                 "linkpred", "bfs", "walks", "bowtie", "spam", "modularity"],
     )
+    p.add_argument("--seeds_like", default=None,
+                   help="SQL LIKE pattern over vertex ids selecting the seed set for "
+                        "--algorithm bfs/walks/bowtie (frontier sources) and spam "
+                        "(TrustRank trusted set)")
+    p.add_argument("--walk_steps", type=int, default=5)
     p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
     p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
     p.add_argument("--num_partitions", type=int, default=None)
@@ -185,6 +191,58 @@ def main(argv: list[str] | None = None) -> int:
                     f"aa={r['adamic_adar']:.6f} jaccard={r['jaccard']:.6f} "
                     f"common={r['common']} pair={r['src']}~{r['dst']}"
                 )
+    elif args.algorithm in ("bfs", "walks", "bowtie", "spam"):
+        if not args.seeds_like:
+            print(f"--algorithm {args.algorithm} requires --seeds_like", file=sys.stderr)
+            return 2
+        from pagerank_project_spark.operators.pagerank import build_vertices
+
+        verts = build_vertices(edges, vertices)
+        seeds = verts.filter(F.col("id").like(args.seeds_like))
+        if args.algorithm == "bfs":
+            from pagerank_project_spark.operators.traversal import bfs_distances
+
+            out = bfs_distances(spark, edges, seeds, max_iterations=args.max_iterations)
+        elif args.algorithm == "walks":
+            from pagerank_project_spark.operators.traversal import random_walks
+
+            out = random_walks(spark, edges, seeds, steps=args.walk_steps)
+        elif args.algorithm == "bowtie":
+            from pagerank_project_spark.operators.traversal import bowtie_membership
+
+            out = bowtie_membership(spark, edges, seeds, vertices=vertices,
+                                    max_iterations=args.max_iterations)
+            if not args.output:
+                for r in out.groupBy("region").count().orderBy("region").collect():
+                    print(f"region={r['region']} n={r['count']}")
+        else:  # spam
+            from pagerank_project_spark.operators.trust import spam_mass
+
+            sm_cfg = PageRankConfig(
+                alpha=args.alpha, max_iterations=args.max_iterations,
+                epsilon=args.epsilon, filter_ratio=args.filter_ratio,
+                mode=args.mode,
+                strategy=args.strategy, num_partitions=args.num_partitions,
+                salt_buckets=args.salt_buckets,
+            )
+            out = spam_mass(spark, edges,
+                            trusted_expr=F.col("id").like(args.seeds_like),
+                            vertices=vertices, cfg=sm_cfg)
+            if not args.output:
+                for r in out.orderBy(F.desc("spam_mass"), F.asc("id")).limit(
+                        args.max_results).collect():
+                    print(f"mass={r['spam_mass']:.6f} rank={r['rank']:.4e} url={r['id']}")
+    elif args.algorithm == "modularity":
+        from pagerank_project_spark.operators.graphmetrics import modularity
+        from pagerank_project_spark.operators.labelprop import label_propagation
+
+        lpa = label_propagation(spark, edges, vertices=vertices,
+                                iterations=args.lpa_iterations)
+        out = modularity(spark, edges, lpa.labels)
+        r = out.first()
+        print(json.dumps({"n_edges_und": r["n_edges_und"],
+                          "n_communities": r["n_communities"],
+                          "modularity": r["modularity"]}))
     else:
         from pagerank_project_spark.operators.triangles import triangle_count
 

@@ -134,16 +134,6 @@ def label_propagation(
     und = canon.unionByName(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # argmax strategy probe: with string-sorted vids (0..n-1) both cnt and
-    # lbl fit in 31/32 bits, so the per-superstep winner can be picked with
-    # max(cnt<<32 | (2^32-1-lbl)) — a map-side-combinable HashAggregate —
-    # instead of a row_number Window whose Exchange+SORT of the full freq
-    # table is the late-superstep floor. One tiny vmap agg decides it; hash
-    # vids (full 64-bit) or out-of-range vids fall back to the Window path.
-    packable = False
-    if not hashed:
-        vb = vmap.agg(F.min("vid").alias("lo"), F.max("vid").alias("hi")).first()
-        packable = vb["lo"] is not None and vb["lo"] >= 0 and vb["hi"] < (1 << 31)
     phases["encode"] = round(_time.time() - t_ph, 3)
     t_ph = _time.time()
     und = und.repartition(nparts, "src").persist()
@@ -190,26 +180,21 @@ def label_propagation(
             )
             keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))  # isolated keep own
             freq = nbr.unionByName(keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
-            if packable:
-                # identical (cnt desc, lbl asc) winner: the packed long is
-                # monotone in cnt and anti-monotone in lbl below it, and the
-                # max combines map-side (≤1 row per vid per map partition
-                # crosses the wire — the window shipped ALL candidate labels
-                # and then sorted them)
-                low = (1 << 32) - 1
-                winner = F.shiftleft(F.col("cnt"), 32) + (F.lit(low) - F.col("lbl"))
-                labels = (
-                    freq.groupBy("vid").agg(F.max(winner).alias("_p"))
-                    .select("vid", (F.lit(low) - F.col("_p").bitwiseAND(F.lit(low))).alias("lbl"))
-                    .localCheckpoint(eager=False)
-                )
-            else:
-                labels = (
-                    freq.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select("vid", "lbl")
-                    .localCheckpoint(eager=False)
-                )
+            # winner pick stays the row_number Window ON PURPOSE: Spark 4
+            # compiles row_number + (rn = 1) into WindowGroupLimit with a
+            # PARTIAL stage before the exchange — ≤1 candidate row per vid
+            # per map partition crosses the wire already. A packed-bigint
+            # max(cnt<<32 | ~lbl) HashAggregate rewrite was built and
+            # A/B-measured at sf16 1x4/4x4 and was SLOWER at both legs
+            # (sec/iter 71.7->76.5 @1x4, 22.7->40.1 @4x4): it re-buys the
+            # reduction WindowGroupLimit provides and pays an extra hash
+            # table over the full freq table for it (BENCH/BASELINE.md).
+            labels = (
+                freq.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("vid", "lbl")
+                .localCheckpoint(eager=False)
+            )
             labels.count()  # materialize + truncate each superstep
             iter_secs.append(round(time.time() - t_it, 3))
             if checkpoint_store is not None:

@@ -86,11 +86,16 @@ def random_walks(
     edges: DataFrame,
     starts: DataFrame,
     steps: int = 5,
+    num_walks: int = 1,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """One deterministic walk per start vertex, ``steps`` hops long (or
-    shorter where a walk reaches a sink). ``starts``: DataFrame with an
-    ``id`` column; the walk_id is the start id.
+    """``num_walks`` deterministic walks per start vertex, ``steps`` hops
+    long each (or shorter where a walk reaches a sink). ``starts``: a
+    DataFrame with an ``id`` column; the walk_id is the start id, or
+    ``id#i`` for i in 0..num_walks-1 when num_walks > 1 (DeepWalk-style
+    corpora run tens of walks per vertex — the walk index rides the
+    walk_id, so each replica takes an independent md5 stream at zero
+    extra state).
 
     Next hop from u at step t for walk w: the out-neighbor v of u
     minimizing (md5(w || '|' || t || '|' || v), v). md5 is uniform enough
@@ -114,12 +119,17 @@ def random_walks(
         .persist()
     )
     ed.count()
-    cur = (
-        starts.select("id").distinct()
-        .select(F.col("id").alias("walk_id"), F.col("id").alias("cur"))
-        .repartition(nparts, "walk_id")
-        .localCheckpoint(eager=False)
-    )
+    base = starts.select("id").distinct()
+    if num_walks > 1:
+        base = base.select(
+            "id", F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("_i")
+        ).select(
+            F.concat_ws("#", F.col("id"), F.col("_i")).alias("walk_id"),
+            F.col("id").alias("cur"),
+        )
+    else:
+        base = base.select(F.col("id").alias("walk_id"), F.col("id").alias("cur"))
+    cur = base.repartition(nparts, "walk_id").localCheckpoint(eager=False)
     snapshots = [cur.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("id"))]
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -152,6 +162,59 @@ def random_walks(
         out = out.unionByName(s)
     ed.unpersist()
     return out
+
+
+def bowtie_membership(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Broder-et-al. bowtie decomposition relative to a seed set: classify
+    every vertex by directed reachability to/from ``seeds`` within
+    ``max_iterations`` hops.
+
+    → (id, region) with region in {'core', 'in', 'out', 'disc'}:
+    core = reachable FROM a seed AND reaches a seed (the seeds' strongly
+    connected neighborhood), in = reaches a seed only (upstream tendril),
+    out = reached from a seed only (downstream), disc = neither within
+    the hop cap. The classic web-graph bowtie ("Graph structure in the
+    web") takes seeds inside the giant SCC; any audited seed set works —
+    the same classification drives "within k clicks of a trusted page"
+    crawl filters.
+
+    Two frontier BFS passes (forward, and over the transposed edge list)
+    plus two vertex-sized left joins — edge-bound like two short
+    PageRank runs, never all-pairs. ``vertices`` defaults to the edge
+    endpoints; pass the full vertex table to classify isolated vertices
+    (they report 'disc', or 'core' if seeded — a seed trivially reaches
+    itself both ways at distance 0).
+    """
+    fwd = bfs_distances(spark, edges, seeds, max_iterations, num_partitions)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = bfs_distances(spark, rev, seeds, max_iterations, num_partitions)
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .unionByName(seeds.select("id"))
+            .distinct()
+        )
+    return (
+        vertices.select("id")
+        .join(fwd.select("id", F.lit(True).alias("_f")).hint("shuffle_hash"), "id", "left")
+        .join(bwd.select("id", F.lit(True).alias("_b")).hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_f") & F.col("_b"), "core")
+            .when(F.col("_b"), "in")
+            .when(F.col("_f"), "out")
+            .otherwise("disc")
+            .alias("region"),
+        )
+    )
 
 
 def quotient_graph(edges: DataFrame, key_expr: str) -> DataFrame:

@@ -188,24 +188,156 @@ def test_quotient_graph_collapse(spark):
 
 
 # --------------------------------------------------------------------------
-# LPA packed argmax ≡ window argmax (same winner under forced fallback)
+# LPA winner pick compiles to a map-side-limited window (the reason the
+# row_number path is kept over a packed-argmax aggregate — see labelprop.py)
 # --------------------------------------------------------------------------
 
-def test_lpa_packed_and_window_paths_agree(spark):
-    """Shifting all vids by 2^31 pushes them past the packable range while
-    preserving their order, so the run takes the row_number Window path;
-    labels decode to the same (id, label) set either way."""
-    from pagerank_project_spark.operators.labelprop import label_propagation
-    from pagerank_project_spark.operators.pagerank import build_vertices
-    from pagerank_project_spark.operators.vids import string_sorted_vids
+def test_lpa_winner_plan_has_partial_window_group_limit(spark):
+    """Spark 4 turns row_number + (rn = 1) into WindowGroupLimit with a
+    Partial stage before the exchange, so only the per-partition top-1
+    candidate per vid is shuffled; this pins the optimization the LPA
+    superstep relies on (a measured packed-max rewrite was slower)."""
+    from pyspark.sql.window import Window
 
-    e = edges_df(spark, EDGES + [("c", "e"), ("f", "g")])  # tie-heavy
-    verts = build_vertices(e, None)
-    packed = label_propagation(spark, e, iterations=3)
-    vmap_hi = string_sorted_vids(verts, "id", 4).withColumn(
-        "vid", F.col("vid") + F.lit(1 << 31)
+    freq = spark.createDataFrame([(1, 2, 3)], "vid long, lbl long, cnt long")
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
+    out = (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "lbl")
     )
-    windowed = label_propagation(spark, e, iterations=3, vmap=vmap_hi)
-    a = sorted((r["id"], r["label"]) for r in packed.labels.collect())
-    b = sorted((r["id"], r["label"]) for r in windowed.labels.collect())
-    assert a == b
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# --------------------------------------------------------------------------
+# TrustRank / spam mass
+# --------------------------------------------------------------------------
+
+def test_spam_mass_all_trusted_is_zero(spark):
+    """Trusting every vertex makes the teleport vector uniform, so
+    TrustRank ≡ PageRank and every spam mass collapses to 0."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.trust import spam_mass
+
+    e = edges_df(spark, EDGES)
+    cfg = PageRankConfig(mode="standard", max_iterations=5, epsilon=1e-300)
+    rows = spam_mass(spark, e, trusted_expr=F.lit(True), cfg=cfg).collect()
+    assert rows and all(abs(r["spam_mass"]) < 1e-12 for r in rows)
+
+
+def test_spam_mass_flags_link_farm(spark):
+    """A page pumped only by a link farm unreachable from the trusted
+    seed carries near-total spam mass; the seed's own neighborhood
+    carries little."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.trust import spam_mass
+
+    farm = [(f"s{i}", "spam") for i in range(6)] + [("spam", "s0")]
+    good = [("t", "a"), ("a", "t"), ("a", "b"), ("b", "t")]
+    e = edges_df(spark, good + farm)
+    cfg = PageRankConfig(mode="standard", max_iterations=20, epsilon=1e-300)
+    res = {
+        r["id"]: r
+        for r in spam_mass(
+            spark, e, trusted_expr=F.col("id") == "t", cfg=cfg
+        ).collect()
+    }
+    assert res["spam"]["spam_mass"] > 0.9
+    assert res["a"]["spam_mass"] < 0.3
+    # every rank positive, trust concentrated on the seed side
+    assert all(r["rank"] > 0 for r in res.values())
+    assert res["t"]["trust"] > res["spam"]["trust"]
+
+
+def test_trust_rank_requires_seeds(spark):
+    from pagerank_project_spark.operators.trust import trust_rank
+
+    with pytest.raises(ValueError, match="seed"):
+        trust_rank(spark, edges_df(spark, EDGES))
+
+
+# --------------------------------------------------------------------------
+# bowtie decomposition
+# --------------------------------------------------------------------------
+
+def test_bowtie_regions_exact(spark):
+    """Hand graph around seed s: c↔s (core), a→s only (in), s→b only
+    (out), d isolated (disc), plus a 2-hop tendril x→a (in)."""
+    from pagerank_project_spark.operators.traversal import bowtie_membership
+
+    e = edges_df(
+        spark,
+        [("c", "s"), ("s", "c"), ("a", "s"), ("s", "b"), ("x", "a")],
+    )
+    verts = spark.createDataFrame(
+        [("s",), ("a",), ("b",), ("c",), ("d",), ("x",)], "id string"
+    )
+    seeds = spark.createDataFrame([("s",)], "id string")
+    got = {
+        r["id"]: r["region"]
+        for r in bowtie_membership(spark, e, seeds, vertices=verts).collect()
+    }
+    assert got == {"s": "core", "c": "core", "a": "in", "x": "in", "b": "out", "d": "disc"}
+
+
+def test_bowtie_hop_cap_limits_regions(spark):
+    """With max_iterations=1 the 2-hop tendril x is no longer 'in'."""
+    from pagerank_project_spark.operators.traversal import bowtie_membership
+
+    e = edges_df(spark, [("x", "a"), ("a", "s"), ("s", "b")])
+    seeds = spark.createDataFrame([("s",)], "id string")
+    got = {
+        r["id"]: r["region"]
+        for r in bowtie_membership(spark, e, seeds, max_iterations=1).collect()
+    }
+    assert got == {"s": "core", "a": "in", "x": "disc", "b": "out"}
+
+
+# --------------------------------------------------------------------------
+# CLI surface for the round-4 algorithms
+# --------------------------------------------------------------------------
+
+def test_cli_bowtie_and_spam_small_graph(capsys):
+    """--algorithm bowtie/spam over the reference edge list with seed url
+    '1'; bowtie prints region counts, spam prints ranked mass lines, and
+    both refuse to run without --seeds_like."""
+    from pagerank_project_spark.cli import main
+
+    rc = main(["--data", "/root/reference/Data/small.csv.gz",
+               "--algorithm", "bowtie", "--seeds_like", "1", "--cores", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert any(ln.startswith("region=") for ln in out.splitlines())
+
+    rc = main(["--data", "/root/reference/Data/small.csv.gz",
+               "--algorithm", "spam", "--seeds_like", "1",
+               "--max_iterations", "5", "--max_results", "3", "--cores", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert sum(ln.startswith("mass=") for ln in out.splitlines()) == 3
+
+    rc = main(["--data", "/root/reference/Data/small.csv.gz",
+               "--algorithm", "bfs", "--cores", "4"])
+    assert rc == 2  # missing --seeds_like
+
+
+def test_random_walks_num_walks_independent_streams(spark):
+    """num_walks=3 yields 3 walks per start with distinct walk_ids; each
+    replica's hops follow its own md5 stream (so replicas from a branching
+    vertex are not all identical), and every step-0 row is the start."""
+    from pagerank_project_spark.operators.traversal import random_walks
+
+    e = edges_df(spark, EDGES)
+    starts = spark.createDataFrame([("a",), ("b",)], "id string")
+    out = random_walks(spark, e, starts, steps=4, num_walks=3).collect()
+    ids = {r["walk_id"] for r in out}
+    assert ids == {f"{s}#{i}" for s in ("a", "b") for i in range(3)}
+    for r in out:
+        if r["step"] == 0:
+            assert r["id"] == r["walk_id"].split("#")[0]
+    # determinism: same call → identical corpus
+    again = random_walks(spark, e, starts, steps=4, num_walks=3).collect()
+    key = lambda r: (r["walk_id"], r["step"])
+    assert sorted((r["walk_id"], r["step"], r["id"]) for r in out) == \
+           sorted((r["walk_id"], r["step"], r["id"]) for r in again)
