@@ -648,6 +648,19 @@ def q_code_bowtie(spark, sf_dir):
     return bowtie_membership(spark, edges, seeds, vertices=verts, max_iterations=8)
 
 
+def q_code_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style 2-hop sampled computation graph from the entry-file
+    roots (fan-outs 3 then 2) — deterministic md5-ordered neighbor choice,
+    so the exact sampled edge set is DuckDB-oracle-checkable."""
+    from pagerank_project_spark.operators.neighbors import khop_neighborhood
+
+    edges, verts = _code_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").like(BFS_SEED_LIKE))
+    return khop_neighborhood(edges, seeds, [3, 2]).select(
+        "root", F.col("hop").cast("long").alias("hop"), "src", "dst"
+    )
+
+
 def q_synonym_topk(spark, sf_dir):
     """Corpus-derived synonym table (PPMI-cosine, the GloVe stand-in for
     reference op-20 query expansion) — fully SQL-expressible."""
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_module_graph": q_code_module_graph,
         "code_spam_mass": q_code_spam_mass,
         "code_bowtie": q_code_bowtie,
+        "code_neighbor_sample": q_code_neighbor_sample,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1651,6 +1665,28 @@ w{t} AS (
     return head + body + "\n" + tail
 
 
+def _code_neighbor_sample_sql(fix: str, fanouts: tuple[int, ...] = (3, 2)) -> str:
+    """2-hop deterministic fan-out sample — the per-hop adjacency CTEs are
+    generated by operators/neighbors.neighbor_sample_sql from the SAME
+    md5 ordering expression the engine uses, so they cannot drift."""
+    from pagerank_project_spark.operators.neighbors import neighbor_sample_sql
+
+    k1, k2 = fanouts
+    a1 = neighbor_sample_sql("SELECT src, dst FROM e", k1, salt="|h1")
+    a2 = neighbor_sample_sql("SELECT src, dst FROM e", k2, salt="|h2")
+    return f"""
+WITH e AS MATERIALIZED ({_code_e_sql(fix)}),
+v AS ({_code_v_sql(fix)}),
+a1 AS ({a1}),
+a2 AS ({a2}),
+seeds AS (SELECT id AS root, id FROM v WHERE id LIKE '{BFS_SEED_LIKE}'),
+h1 AS (SELECT DISTINCT root, 1::BIGINT AS hop, a1.src, a1.dst FROM seeds JOIN a1 ON seeds.id = a1.src),
+f1 AS (SELECT DISTINCT root, dst AS id FROM h1),
+h2 AS (SELECT DISTINCT root, 2::BIGINT AS hop, a2.src, a2.dst FROM f1 JOIN a2 ON f1.id = a2.src)
+SELECT root, hop, src, dst FROM h1 UNION ALL SELECT root, hop, src, dst FROM h2
+"""
+
+
 def _spam_mass_k3_sql(e_sql: str, v_sql: str, seed_pred_sql: str) -> str:
     """Two unrolled 3-iteration textbook PageRank chains (uniform
     teleport p*, seed teleport t*) sharing one edge/weight scan, then
@@ -1992,4 +2028,5 @@ def _code_oracles() -> dict[str, str]:
             f"id LIKE '{BFS_SEED_LIKE}'",
         ),
         "code_bowtie": _code_bowtie_sql(fix, rounds=8),
+        "code_neighbor_sample": _code_neighbor_sample_sql(fix),
     }
