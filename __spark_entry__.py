@@ -388,6 +388,14 @@ def q_repetition_profile(spark, sf_dir):
     return repetition_profile(docs)
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Cross-document duplicate 8-gram span coverage (ExactSubstr-lite) —
+    exact integer ratios, bit-exact DuckDB oracle."""
+    from pagerank_project_spark.operators.textstats import dup_ngram_profile
+
+    return dup_ngram_profile(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_quality_filter_rep(spark, sf_dir):
     """quality_filter_per_lang COMPOSED with the repetition pre-filter:
     docs whose duplicate-line fraction exceeds 0.3 (the doc_id ≡ 0 mod 6
@@ -854,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3_weighted": q_pagerank_k3_weighted,
         "lm_surprisal": q_lm_surprisal,
         "repetition_profile": q_repetition_profile,
+        "dup_ngram_spans": q_dup_ngram_spans,
         "quality_filter_rep": q_quality_filter_rep,
         "pii_scrub": q_pii_scrub,
         "bigram_lm": q_bigram_lm,
@@ -1252,6 +1261,46 @@ top AS (SELECT doc_id, MAX(c) / SUM(c) AS tbf FROM cnt GROUP BY 1)
 SELECT b.doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_paras, dup_para_frac,
        ROUND(COALESCE(top.tbf, 0), 6) AS top_bigram_frac
 FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+def _dup_ngram_spans_sql(n: int = 8, min_docs: int = 2) -> str:
+    """Mirror of textstats.dup_ngram_profile: positioned n-grams hashed to
+    md5, duplicated = in >= min_docs distinct docs, covered tokens = the
+    UNION of duplicated spans (distinct positions). Exact integer ratios
+    → bit-exact inside the 6dp round."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, str_split({NORM_TEXT_SQL}, ' ') AS tk,
+         len(str_split({NORM_TEXT_SQL}, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, tk, unnest(generate_series(1, n_tokens - {n - 1})) AS pos
+  FROM base WHERE n_tokens >= {n}
+),
+grams AS (
+  SELECT doc_id, pos, md5(array_to_string(tk[pos:pos+{n - 1}], ' ')) AS g FROM g0
+),
+dup AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+  GROUP BY g HAVING COUNT(*) >= {min_docs}
+),
+dstart AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + {n - 1})) AS p FROM dstart),
+cov AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS covered
+  FROM (SELECT DISTINCT doc_id, p FROM cov0) GROUP BY doc_id
+),
+ng AS (SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams FROM grams GROUP BY doc_id),
+nd AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_ngrams FROM dstart GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(ng.n_ngrams, 0)::BIGINT AS n_ngrams,
+       COALESCE(nd.n_dup_ngrams, 0)::BIGINT AS n_dup_ngrams,
+       COALESCE(cov.covered, 0)::BIGINT AS covered_tokens,
+       ROUND(COALESCE(cov.covered, 0) / greatest(b.n_tokens, 1)::DOUBLE, 6) AS dup_token_frac
+FROM base b
+LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
 """
 
 
@@ -1956,6 +2005,7 @@ FROM z GROUP BY doc_id
         "quality_filter": _quality_filter_sql(0.5),
         "repetition_profile": _repetition_profile_sql(),
         "quality_filter_rep": _quality_filter_rep_sql(0.5, 0.3),
+        "dup_ngram_spans": _dup_ngram_spans_sql(n=8),
         "pii_scrub": _pii_scrub_sql(),
         "bigram_lm": f"""
 WITH nt AS (SELECT {NORM_TEXT_SQL} AS t FROM documents),

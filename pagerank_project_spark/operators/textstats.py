@@ -340,3 +340,92 @@ def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return c.join(ctx, "w1").select(
         "w1", "w2", "c", F.round(F.col("c") / F.col("ctx"), 6).alias("p")
     )
+
+
+def dup_ngram_profile(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate n-gram SPAN coverage — the ExactSubstr-style
+    signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") at word-n-gram granularity: for each document, what fraction
+    of its tokens sits inside an n-gram that also appears in >= min_docs
+    distinct documents. Complements repetition_profile (WITHIN-doc
+    repetition) and minhash/simhash (whole-doc near-dup): this catches the
+    shared boilerplate PARAGRAPH pasted into thousands of otherwise-unique
+    pages, which doc-level dedup keeps and in-doc repetition misses.
+
+    → (doc_id, n_tokens, n_ngrams, n_dup_ngrams, covered_tokens,
+       dup_token_frac) for every input doc (short docs report zeros);
+    covered_tokens = |union of the duplicated n-grams' spans| via distinct
+    covered positions, dup_token_frac = covered_tokens / n_tokens — exact
+    integer ratios, so the DuckDB oracle matches bit-for-bit inside the
+    defensive 6dp round.
+
+    Scale shape: the positioned n-gram stream is one posexplode row per
+    token (n-gram text is hashed to md5 IN THE SAME PROJECTION, so ~32-byte
+    digests shuffle, never n-token strings); the duplicated-gram set is a
+    distinct on (g, doc) + one map-side-combined count (both hash aggs,
+    no skew hazard beyond a genuinely viral n-gram, which is exactly a
+    count agg's best case); the join back keys on g and is NEVER broadcast
+    (web-scale dup vocab); the span-union explode costs n rows per
+    DUPLICATED start only, and the distinct-position count partitions by
+    doc_id (bounded by document length). No Python anywhere.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    t = F.col(text_col)
+    toks = F.split(normalized_text(t), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("tk"), F.size(toks).alias("n_tokens")
+    )
+    # (doc, start pos 1-based, md5 of the n-gram) — one row per n-gram
+    grams = base.filter(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i, n), " ")),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    dup = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_starts = grams.join(dup, "g")
+    covered = (
+        dup_starts.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    per_doc_dup = dup_starts.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .join(per_doc_dup, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
