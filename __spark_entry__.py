@@ -656,6 +656,17 @@ def q_code_bowtie(spark, sf_dir):
     return bowtie_membership(spark, edges, seeds, vertices=verts, max_iterations=8)
 
 
+def q_code_ppr_topk(spark, sf_dir):
+    """Batched personalized PageRank: every repo's entry file is a seed,
+    all seeds run in ONE superstep loop (state keyed (seed, id)); top-10
+    per seed after 3 iterations, ranks 6dp-rounded before the cut."""
+    from pagerank_project_spark.operators.ppr import ppr_topk
+
+    edges, verts = _code_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").like(BFS_SEED_LIKE))
+    return ppr_topk(spark, edges, seeds, k=10, alpha=ALPHA, iterations=3)
+
+
 def q_code_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style 2-hop sampled computation graph from the entry-file
     roots (fan-outs 3 then 2) — deterministic md5-ordered neighbor choice,
@@ -889,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_spam_mass": q_code_spam_mass,
         "code_bowtie": q_code_bowtie,
         "code_neighbor_sample": q_code_neighbor_sample,
+        "code_ppr_topk": q_code_ppr_topk,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1714,6 +1726,48 @@ w{t} AS (
     return head + body + "\n" + tail
 
 
+def _code_ppr_sql(fix: str, alpha: float, iterations: int, k: int) -> str:
+    """Unrolled batched PPR — mirrors operators/ppr.ppr_batch term for
+    term (restart AND dangling mass to the seed; sparse support), then
+    ppr_topk's 6dp-round-before-cut contract."""
+    head = f"""
+WITH e AS MATERIALIZED ({_code_e_sql(fix)}),
+v AS ({_code_v_sql(fix)}),
+od AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+w AS MATERIALIZED (SELECT e.src, e.dst, 1.0/od.d AS w FROM e JOIN od USING (src)),
+seeds AS (SELECT id AS seed FROM v WHERE id LIKE '{BFS_SEED_LIKE}'),
+r0 AS (SELECT seed, seed AS id, 1.0::DOUBLE AS rank FROM seeds)
+"""
+    body = ""
+    for t in range(iterations):
+        body += f""",
+con{t} AS (
+  SELECT r.seed, w.dst AS id, SUM({alpha} * w.w * r.rank) AS x
+  FROM w JOIN r{t} r ON w.src = r.id GROUP BY 1, 2
+),
+dang{t} AS (
+  SELECT r.seed, SUM(r.rank) AS dm
+  FROM r{t} r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL GROUP BY 1
+),
+r{t + 1} AS MATERIALIZED (
+  SELECT seed, id, SUM(x) AS rank FROM (
+    SELECT seed, id, x FROM con{t}
+    UNION ALL
+    SELECT s.seed, s.seed AS id, {alpha} * COALESCE(d.dm, 0) + {1 - alpha} AS x
+    FROM seeds s LEFT JOIN dang{t} d USING (seed)
+  ) GROUP BY 1, 2
+)
+"""
+    tail = f"""
+SELECT seed, id, rank, rn::BIGINT AS rnk FROM (
+  SELECT seed, id, ROUND(rank, 6) AS rank,
+         row_number() OVER (PARTITION BY seed ORDER BY ROUND(rank, 6) DESC, id ASC) AS rn
+  FROM r{iterations}
+) WHERE rn <= {k}
+"""
+    return head + body + tail
+
+
 def _code_neighbor_sample_sql(fix: str, fanouts: tuple[int, ...] = (3, 2)) -> str:
     """2-hop deterministic fan-out sample — the per-hop adjacency CTEs are
     generated by operators/neighbors.neighbor_sample_sql from the SAME
@@ -2079,4 +2133,5 @@ def _code_oracles() -> dict[str, str]:
         ),
         "code_bowtie": _code_bowtie_sql(fix, rounds=8),
         "code_neighbor_sample": _code_neighbor_sample_sql(fix),
+        "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
     }
