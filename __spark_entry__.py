@@ -656,6 +656,26 @@ def q_code_bowtie(spark, sf_dir):
     return bowtie_membership(spark, edges, seeds, vertices=verts, max_iterations=8)
 
 
+def q_code_module_rank(spark, sf_dir):
+    """quotient_graph → weighted PageRank composition: collapse the file
+    graph to the module (directory) supergraph, then rank modules with
+    edge multiplicity as transition weight — the domain-level PageRank of
+    a web corpus (host graph → host rank)."""
+    from pagerank_project_spark.config import PageRankConfig
+    from pagerank_project_spark.operators.pagerank import pagerank
+    from pagerank_project_spark.operators.traversal import quotient_graph
+
+    edges, _ = _code_graph(spark, sf_dir)
+    mg = quotient_graph(edges, "regexp_replace({v}, '/[^/]+$', '')").select(
+        F.col("src_group").alias("src"),
+        F.col("dst_group").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    cfg = PageRankConfig(mode="standard", alpha=ALPHA, epsilon=1e-300, max_iterations=3)
+    res = pagerank(spark, mg, cfg=cfg, weight_col="weight")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_code_ppr_topk(spark, sf_dir):
     """Batched personalized PageRank: every repo's entry file is a seed,
     all seeds run in ONE superstep loop (state keyed (seed, id)); top-10
@@ -901,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_bowtie": q_code_bowtie,
         "code_neighbor_sample": q_code_neighbor_sample,
         "code_ppr_topk": q_code_ppr_topk,
+        "code_module_rank": q_code_module_rank,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -2134,4 +2155,9 @@ def _code_oracles() -> dict[str, str]:
         "code_bowtie": _code_bowtie_sql(fix, rounds=8),
         "code_neighbor_sample": _code_neighbor_sample_sql(fix),
         "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
+        "code_module_rank": _pagerank_k3_sql(
+            e_sql=f"SELECT src_group AS src, dst_group AS dst, weight::DOUBLE AS wt "
+                  f"FROM ({_code_module_graph_sql(fix)})",
+            wt_sql="wt",
+        ),
     }
