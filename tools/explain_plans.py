@@ -219,6 +219,74 @@ construction.""",
         fmt(pii_scrub(docs)),
     ))
 
+    # --- 9. neighbor sampling: Partial WindowGroupLimit (round 4) -----------
+    from pagerank_project_spark.operators.neighbors import sample_adjacency
+
+    big_e = spark.range(0, 100_000).select(
+        (F.col("id") % 1_000).cast("string").alias("src"),
+        (F.col("id") * 7 % 50_000).cast("string").alias("dst"),
+    )
+    sections.append((
+        "Neighbor sampling: per-src top-K via Partial WindowGroupLimit",
+        """What to verify: a `WindowGroupLimit` with mode `Partial` BELOW the
+exchange and `Final` above it — at most K candidate rows per src per map
+partition are shuffled, so a 10^7-out-degree hub ships K x partitions
+rows, not its whole adjacency. The ordering expression is
+md5(src|dst|salt): deterministic, partition/retry-invariant, replayed
+verbatim by the DuckDB oracle.""",
+        fmt(sample_adjacency(big_e, 10)),
+    ))
+
+    # --- 10. batched-PPR superstep (round 4) --------------------------------
+    # one superstep built inline (ppr_batch localCheckpoints per iteration,
+    # which truncates the explain to a Scan ExistingRDD — same reason the
+    # PageRank section above is inlined)
+    ppr_w = (
+        spark.range(0, 20_000)
+        .select(
+            (F.col("id") % 2_000).cast("string").alias("src"),
+            (F.col("id") * 11 % 2_000).cast("string").alias("dst"),
+            F.lit(0.1).alias("w"),
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    ppr_w.count()
+    ppr_spine = spark.range(0, 50).select(F.col("id").cast("string").alias("seed"))
+    ppr_state = (
+        ppr_spine.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
+        .repartition(8, "seed", "id")
+        .localCheckpoint(eager=False)
+    )
+    ppr_state.count()
+    ppr_contrib = ppr_w.join(
+        ppr_state.select(F.col("id").alias("src"), "seed", "rank").hint("shuffle_hash"), "src"
+    ).select("seed", F.col("dst").alias("id"), (F.lit(0.85) * F.col("w") * F.col("rank")).alias("x"))
+    ppr_dang = (
+        ppr_state.join(
+            ppr_w.select("src").hint("shuffle_hash"), ppr_state["id"] == ppr_w["src"], "left_anti"
+        )
+        .groupBy("seed")
+        .agg(F.sum("rank").alias("dm"))
+    )
+    ppr_seed_term = ppr_spine.join(ppr_dang, "seed", "left").select(
+        "seed", F.col("seed").alias("id"),
+        (F.lit(0.85) * F.coalesce("dm", F.lit(0.0)) + F.lit(0.15)).alias("x"),
+    )
+    ppr_small = (
+        ppr_contrib.unionByName(ppr_seed_term).groupBy("seed", "id").agg(F.sum("x").alias("rank"))
+    )
+    sections.append((
+        "Batched-PPR superstep ((seed, id)-keyed state)",
+        """What to verify: the state-x-transition join is a
+`ShuffledHashJoin` (hinted — never a broadcast of graph-sized state, no
+sort); the scatter is ONE union feeding ONE `HashAggregate` pair
+(partial+final = map-side combined) keyed (seed, id); the dangling term
+enters through the |seeds|-row spine, not a graph-sized side. Same
+discipline as the PageRank superstep with a composite key.""",
+        fmt(ppr_small),
+    ))
+
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plans of the hot paths (generated by tools/explain_plans.py)\n\n"
