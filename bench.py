@@ -146,6 +146,15 @@ def main() -> None:
         from pagerank_project_spark.operators.hits import hits
 
         hits(spark, edges, vertices=verts, iterations=3).scores.count()
+    with timed("ppr_batch_top10"):
+        from pagerank_project_spark.operators.ppr import ppr_topk
+
+        seeds = verts.filter(F.col("id").like("%:src/mod0/file0"))
+        ppr_topk(spark, edges, seeds, k=10, iterations=3).count()
+    with timed("neighbor_sample_2hop"):
+        from pagerank_project_spark.operators.neighbors import khop_neighborhood
+
+        khop_neighborhood(edges, seeds, [10, 5]).count()
 
     # --- driver-table operator families ------------------------------------
     with timed("tpch_degree_distribution"):
@@ -173,6 +182,10 @@ def main() -> None:
         from pagerank_project_spark.operators.textstats import tfidf_topk
 
         tfidf_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5).count()
+    with timed("docs_dup_ngram_spans"):
+        from pagerank_project_spark.operators.textstats import dup_ngram_profile
+
+        dup_ngram_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"), n=8).count()
 
     total = round(time.time() - t_all, 3)
     print(
