@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pagerank_project_spark.operators.vids import string_sorted_vids
 
+# frontier mode only engages its filtered gather when the touched set is
+# small enough to broadcast as a semi-join filter over the edge cache
+# (~8 bytes/vid → 40 MB at the limit); above it the superstep falls back
+# to the full gather, which is the right plan anyway at that frontier size
+FRONTIER_BROADCAST_LIMIT = 5_000_000
+
 
 @dataclass
 class LPAResult:
@@ -45,6 +51,7 @@ class LPAResult:
     iterations: int  # actual final superstep index (resume: includes checkpointed supersteps)
     iter_secs: list[float] | None = None  # wall per superstep
     phase_secs: dict | None = None  # one-time tails: validate/encode/cache_fill
+    frontier_sizes: list[int] | None = None  # frontier mode: |changed| per superstep
 
 
 def label_propagation(
@@ -58,6 +65,8 @@ def label_propagation(
     validate_vertices: bool = True,
     vmap: DataFrame | None = None,
     vid_mode: str = "sorted",
+    frontier: bool = False,
+    frontier_threshold: float = 0.2,
 ) -> LPAResult:
     """``vmap``: optional pre-built (id, vid) map from
     ``vids.string_sorted_vids`` over the same vertex universe, so callers
@@ -83,7 +92,25 @@ def label_propagation(
     its costlier encode. 'sorted' is therefore the default and the
     production recommendation; 'hash' remains for encode-dominated
     shapes (few supersteps over a small edge set with a huge vertex
-    dictionary)."""
+    dictionary).
+
+    ``frontier``: exact work-reduction for long (run-toward-convergence)
+    runs. A vertex's winner can only change when some neighbor's label
+    changed in the PREVIOUS superstep, so once the per-superstep changed
+    set falls under ``frontier_threshold``·|V| the gather is restricted
+    to touched = N(changed): the edge cache is filtered by a BROADCAST
+    semi-join on touched (a codegen'd hash filter riding the cache scan
+    — the cache itself never re-shuffles), and only Σ indeg(touched)
+    rows enter the freq shuffle + argmax instead of all E — untouched
+    vertices carry their label forward. The result is BITWISE the
+    default path's (pinned by tests): untouched vertices would have
+    recomputed identical freq tables. When a superstep changes nothing
+    the run stops early (every further superstep is provably identity,
+    so the labels still equal the full-K run; ``iterations`` reports the
+    superstep that hit the fixpoint). Costs that remain per superstep:
+    one extra cache stream to build the touched set, and the Θ(V) state
+    carry/checkpoint. Default off: fixed-k oracle runs are short and the
+    changed set only collapses near convergence."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
@@ -158,12 +185,82 @@ def label_propagation(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     it = start_iter
     iter_secs: list[float] = []
+    frontier_sizes: list[int] = []
+    n_verts = verts.count() if frontier else 0
+    changed = None  # (vid) rows whose label changed last superstep; None = all/unknown
+    changed_count = n_verts
     try:
         import time
 
         w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
         for it in range(start_iter + 1, iterations + 1):
             t_it = time.time()
+            if (
+                frontier
+                and changed is not None
+                and changed_count <= frontier_threshold * n_verts
+                and changed_count <= FRONTIER_BROADCAST_LIMIT
+            ):
+                # --- frontier superstep (exact; see docstring) -------------
+                touched = (
+                    und.join(
+                        changed.select(F.col("vid").alias("src")).hint("shuffle_hash"), "src"
+                    )
+                    .select(F.col("dst").alias("vid"))
+                    .distinct()
+                    .persist()
+                )
+                tc = touched.count()
+                if tc <= FRONTIER_BROADCAST_LIMIT:
+                    filt = und.join(
+                        F.broadcast(touched.select(F.col("vid").alias("dst"))), "dst", "semi"
+                    )
+                    # build side = the filtered Σ indeg(touched)-row edge set;
+                    # the vid-partitioned label state streams exchange-free
+                    nbr = (
+                        labels.select(F.col("vid").alias("_sv"), "lbl")
+                        .join(
+                            filt.select(F.col("src").alias("_sv"), "dst").hint("shuffle_hash"),
+                            "_sv",
+                        )
+                        .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
+                    )
+                    # no keeper rows: touched vertices are non-isolated by
+                    # construction (they have the edge from the changed
+                    # neighbor), and a cnt-0 own-label row can never beat a
+                    # cnt>=1 neighbor row — identical winner either way
+                    freq = nbr.groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
+                    winner = (
+                        freq.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1)
+                        .select("vid", "lbl")
+                    )
+                    new_aff = winner.join(
+                        labels.select("vid", F.col("lbl").alias("_old")).hint("shuffle_hash"),
+                        "vid",
+                    ).select("vid", "lbl", (F.col("lbl") != F.col("_old")).alias("chg"))
+                    carry = labels.join(
+                        F.broadcast(touched), "vid", "anti"
+                    ).select("vid", "lbl", F.lit(False).alias("chg"))
+                    labels = (
+                        new_aff.unionByName(carry)
+                        .repartition(nparts, "vid")
+                        .localCheckpoint(eager=False)
+                    )
+                    changed_count = labels.filter("chg").count()  # materializes
+                    changed = labels.filter("chg").select("vid")
+                    labels = labels.select("vid", "lbl")
+                    touched.unpersist()
+                    frontier_sizes.append(changed_count)
+                    iter_secs.append(round(time.time() - t_it, 3))
+                    if checkpoint_store is not None:
+                        checkpoint_store.write_iteration(
+                            _decode(labels, vmap), iteration=it, metrics={}
+                        )
+                    if changed_count == 0:
+                        break  # fixpoint: every further superstep is identity
+                    continue
+                touched.unpersist()  # too big to broadcast → full gather
             # shuffle_hash on the LABEL side (pagerank.py's superstep rule):
             # un-hinted, Catalyst either auto-broadcasts the checkpointed
             # |V|-row label vector (driver-serial HashedRelation build per
@@ -189,16 +286,32 @@ def label_propagation(
             # (sec/iter 71.7->76.5 @1x4, 22.7->40.1 @4x4): it re-buys the
             # reduction WindowGroupLimit provides and pays an extra hash
             # table over the full freq table for it (BENCH/BASELINE.md).
-            labels = (
+            winner = (
                 freq.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select("vid", "lbl")
-                .localCheckpoint(eager=False)
             )
-            labels.count()  # materialize + truncate each superstep
+            if frontier:
+                # both sides leave vid-partitioned operators → zero-exchange
+                # hash join; chg feeds the next superstep's frontier test
+                labels = winner.join(
+                    labels.select("vid", F.col("lbl").alias("_old")).hint("shuffle_hash"),
+                    "vid",
+                ).select(
+                    "vid", "lbl", (F.col("lbl") != F.col("_old")).alias("chg")
+                ).localCheckpoint(eager=False)
+                changed_count = labels.filter("chg").count()  # materializes
+                changed = labels.filter("chg").select("vid")
+                labels = labels.select("vid", "lbl")
+                frontier_sizes.append(changed_count)
+            else:
+                labels = winner.localCheckpoint(eager=False)
+                labels.count()  # materialize + truncate each superstep
             iter_secs.append(round(time.time() - t_it, 3))
             if checkpoint_store is not None:
                 checkpoint_store.write_iteration(_decode(labels, vmap), iteration=it, metrics={})
+            if frontier and changed_count == 0:
+                break  # fixpoint: every further superstep is identity
     finally:
         # restore even when a superstep raises — AQE must not stay disabled
         # for the caller's whole session
@@ -206,7 +319,13 @@ def label_propagation(
 
     out = _decode(labels, vmap)
     und.unpersist()
-    return LPAResult(labels=out, iterations=it, iter_secs=iter_secs, phase_secs=phases)
+    return LPAResult(
+        labels=out,
+        iterations=it,
+        iter_secs=iter_secs,
+        phase_secs=phases,
+        frontier_sizes=frontier_sizes or None,
+    )
 
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Frontier-mode LPA: exact equality with the full gather + early stop."""
+
+from __future__ import annotations
+
+import random
+
+from pagerank_project_spark.operators.labelprop import label_propagation
+
+
+def _labels(res):
+    return {(r.id, r.label) for r in res.labels.collect()}
+
+
+def _random_edges(seed, n, m):
+    rng = random.Random(seed)
+    return list({(f"v{rng.randrange(n)}", f"v{rng.randrange(n)}") for _ in range(m)})
+
+
+def test_frontier_bitwise_equal_random_graphs(spark):
+    for seed in (1, 2):
+        edges = spark.createDataFrame(_random_edges(seed, 40, 120), "src string, dst string")
+        for k in (3, 6):
+            full = label_propagation(spark, edges, iterations=k)
+            fr = label_propagation(
+                spark, edges, iterations=k, frontier=True, frontier_threshold=1.0
+            )
+            assert _labels(fr) == _labels(full)
+
+
+def test_frontier_bitwise_equal_hub_and_isolated(spark):
+    # hub + two cliques + an isolated vertex (isolated must keep its label
+    # and never enter the touched set)
+    edges = [("h", f"s{i}") for i in range(20)]
+    edges += [(f"a{i}", f"a{j}") for i in range(4) for j in range(4) if i < j]
+    edges += [(f"b{i}", f"b{j}") for i in range(3) for j in range(3) if i < j]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    verts = spark.createDataFrame(
+        [(v,) for v in {x for p in edges for x in p} | {"lonely"}], "id string"
+    )
+    full = label_propagation(spark, e, vertices=verts, iterations=5)
+    fr = label_propagation(
+        spark, e, vertices=verts, iterations=5, frontier=True, frontier_threshold=1.0
+    )
+    assert _labels(fr) == _labels(full)
+    assert ("lonely", "lonely") in _labels(fr)
+
+
+def test_frontier_early_stop_matches_full_run(spark):
+    # two disjoint triangles converge in a couple of supersteps; frontier
+    # mode must stop at the fixpoint and still equal the 10-iteration run
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    full = label_propagation(spark, e, iterations=10)
+    fr = label_propagation(spark, e, iterations=10, frontier=True, frontier_threshold=1.0)
+    assert _labels(fr) == _labels(full)
+    assert fr.iterations < 10
+    assert fr.frontier_sizes is not None and fr.frontier_sizes[-1] == 0
+
+
+def test_frontier_sizes_shrink_to_zero(spark):
+    edges = spark.createDataFrame(_random_edges(7, 30, 80), "src string, dst string")
+    fr = label_propagation(spark, edges, iterations=12, frontier=True, frontier_threshold=1.0)
+    sizes = fr.frontier_sizes
+    assert sizes is not None and len(sizes) >= 1
+    # either it hit the fixpoint (last size 0) or ran all 12 (oscillation)
+    assert sizes[-1] == 0 or len(sizes) == 12
+
+
+def test_frontier_threshold_zero_never_filters(spark):
+    """threshold 0 keeps every superstep on the full path — result and
+    iteration count identical to the default."""
+    edges = spark.createDataFrame(_random_edges(3, 25, 70), "src string, dst string")
+    full = label_propagation(spark, edges, iterations=4)
+    fr = label_propagation(spark, edges, iterations=4, frontier=True, frontier_threshold=0.0)
+    assert _labels(fr) == _labels(full)
