@@ -37,13 +37,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--algorithm",
         default="pagerank",
         choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering",
-                 "linkpred", "bfs", "walks", "bowtie", "spam", "modularity"],
+                 "linkpred", "bfs", "walks", "bowtie", "spam", "modularity", "ppr",
+                 "sample"],
     )
     p.add_argument("--seeds_like", default=None,
                    help="SQL LIKE pattern over vertex ids selecting the seed set for "
-                        "--algorithm bfs/walks/bowtie (frontier sources) and spam "
-                        "(TrustRank trusted set)")
+                        "--algorithm bfs/walks/bowtie (frontier sources), spam "
+                        "(TrustRank trusted set), ppr (personalization seeds) and "
+                        "sample (k-hop roots)")
     p.add_argument("--walk_steps", type=int, default=5)
+    p.add_argument("--fanouts", default="10,5",
+                   help="comma-separated per-hop fan-out caps for --algorithm sample")
+    p.add_argument("--lpa_frontier", action="store_true",
+                   help="LPA: exact frontier gather + fixpoint early stop "
+                        "(run-toward-convergence shape)")
     p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
     p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
     p.add_argument("--num_partitions", type=int, default=None)
@@ -161,8 +168,12 @@ def main(argv: list[str] | None = None) -> int:
         from pagerank_project_spark.operators.labelprop import label_propagation
 
         res = label_propagation(spark, edges, vertices=vertices,
-                                iterations=args.lpa_iterations, checkpoint_store=store)
+                                iterations=args.lpa_iterations, checkpoint_store=store,
+                                frontier=args.lpa_frontier)
         out = res.labels
+        if args.lpa_frontier:
+            print(json.dumps({"iterations": res.iterations,
+                              "frontier_sizes": res.frontier_sizes}))
     elif args.algorithm == "hits":
         from pagerank_project_spark.operators.hits import hits
 
@@ -191,7 +202,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"aa={r['adamic_adar']:.6f} jaccard={r['jaccard']:.6f} "
                     f"common={r['common']} pair={r['src']}~{r['dst']}"
                 )
-    elif args.algorithm in ("bfs", "walks", "bowtie", "spam"):
+    elif args.algorithm in ("bfs", "walks", "bowtie", "spam", "ppr", "sample"):
         if not args.seeds_like:
             print(f"--algorithm {args.algorithm} requires --seeds_like", file=sys.stderr)
             return 2
@@ -215,6 +226,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.output:
                 for r in out.groupBy("region").count().orderBy("region").collect():
                     print(f"region={r['region']} n={r['count']}")
+        elif args.algorithm == "ppr":
+            from pagerank_project_spark.operators.ppr import ppr_topk
+
+            out = ppr_topk(spark, edges, seeds, k=args.max_results,
+                           alpha=args.alpha, iterations=args.power)
+            if not args.output:
+                for r in out.orderBy("seed", "rnk").limit(3 * args.max_results).collect():
+                    print(f"seed={r['seed']} rnk={r['rnk']} rank={r['rank']:.6f} url={r['id']}")
+        elif args.algorithm == "sample":
+            from pagerank_project_spark.operators.neighbors import khop_neighborhood
+
+            fanouts = [int(x) for x in args.fanouts.split(",") if x]
+            out = khop_neighborhood(edges, seeds, fanouts)
+            if not args.output:
+                for r in out.groupBy("hop").count().orderBy("hop").collect():
+                    print(f"hop={r['hop']} n_edges={r['count']}")
         else:  # spam
             from pagerank_project_spark.operators.trust import spam_mass
 
