@@ -656,6 +656,26 @@ def q_code_bowtie(spark, sf_dir):
     return bowtie_membership(spark, edges, seeds, vertices=verts, max_iterations=8)
 
 
+def q_code_scc(spark, sf_dir):
+    """Strongly connected components of one repo's intra-repo import graph
+    (103 files / 491 edges at sf0.01: a giant 87-file cycle cluster + DAG
+    periphery — the Broder-bowtie core shape in miniature). Scoped to a
+    single repo because the DuckDB oracle is a recursive-CTE transitive
+    closure: exact, but quadratic in reachable pairs (the full sf0.01
+    graph's closure is 61M pairs; the subgraph's is thousands). The
+    operator itself runs the distributed FW-Trim coloring — the pytest
+    suite pins it against networkx on whole random digraphs."""
+    from pagerank_project_spark.operators.scc import strongly_connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    sub_e = edges.filter(
+        F.col("src").like("org0/repo0:%") & F.col("dst").like("org0/repo0:%")
+    )
+    sub_v = verts.filter(F.col("id").like("org0/repo0:%"))
+    res = strongly_connected_components(spark, sub_e, vertices=sub_v)
+    return res.labels.select("id", "scc")
+
+
 def q_code_module_rank(spark, sf_dir):
     """quotient_graph → weighted PageRank composition: collapse the file
     graph to the module (directory) supergraph, then rank modules with
@@ -922,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_neighbor_sample": q_code_neighbor_sample,
         "code_ppr_topk": q_code_ppr_topk,
         "code_module_rank": q_code_module_rank,
+        "code_scc": q_code_scc,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1747,6 +1768,31 @@ w{t} AS (
     return head + body + "\n" + tail
 
 
+def _code_scc_sql(fix: str, repo: str = "org0/repo0") -> str:
+    """Exact SCC of the repo subgraph via recursive-CTE transitive
+    closure: mutual = reach ∩ reachᵀ, scc = min mutual partner (the
+    reflexive seed row makes singletons self-labeled)."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM read_parquet('{fix}/intended_edges/*.parquet')
+  WHERE src <> dst AND src LIKE '{repo}:%' AND dst LIKE '{repo}:%'
+),
+v AS (
+  SELECT repo || ':' || regexp_replace(path, '\\.[a-z]+$', '') AS id
+  FROM read_parquet('{fix}/source_table/data/*.parquet') WHERE repo = '{repo}'
+),
+reach(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, r1.b AS o FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT id, MIN(o) AS scc FROM mutual GROUP BY id
+"""
+
+
 def _code_ppr_sql(fix: str, alpha: float, iterations: int, k: int) -> str:
     """Unrolled batched PPR — mirrors operators/ppr.ppr_batch term for
     term (restart AND dangling mass to the seed; sparse support), then
@@ -2155,6 +2201,7 @@ def _code_oracles() -> dict[str, str]:
         "code_bowtie": _code_bowtie_sql(fix, rounds=8),
         "code_neighbor_sample": _code_neighbor_sample_sql(fix),
         "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
+        "code_scc": _code_scc_sql(fix),
         "code_module_rank": _pagerank_k3_sql(
             e_sql=f"SELECT src_group AS src, dst_group AS dst, weight::DOUBLE AS wt "
                   f"FROM ({_code_module_graph_sql(fix)})",

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="pagerank",
         choices=["pagerank", "cc", "lpa", "triangles", "hits", "kcore", "clustering",
                  "linkpred", "bfs", "walks", "bowtie", "spam", "modularity", "ppr",
-                 "sample"],
+                 "sample", "scc"],
     )
     p.add_argument("--seeds_like", default=None,
                    help="SQL LIKE pattern over vertex ids selecting the seed set for "
@@ -259,6 +259,16 @@ def main(argv: list[str] | None = None) -> int:
                 for r in out.orderBy(F.desc("spam_mass"), F.asc("id")).limit(
                         args.max_results).collect():
                     print(f"mass={r['spam_mass']:.6f} rank={r['rank']:.4e} url={r['id']}")
+    elif args.algorithm == "scc":
+        from pagerank_project_spark.operators.scc import strongly_connected_components
+
+        res = strongly_connected_components(spark, edges, vertices=vertices,
+                                            max_rounds=args.max_iterations)
+        out = res.labels
+        if not args.output:
+            for r in (out.groupBy("scc").count().orderBy(F.desc("count"), F.asc("scc"))
+                      .limit(args.max_results).collect()):
+                print(f"scc={r['scc']} size={r['count']}")
     elif args.algorithm == "modularity":
         from pagerank_project_spark.operators.graphmetrics import modularity
         from pagerank_project_spark.operators.labelprop import label_propagation

@@ -1,0 +1,234 @@
+"""Strongly connected components — FW-Trim coloring, superstep-native.
+
+Directed reachability structure is the piece of the classical link-graph
+suite the engine did not yet expose as labels: bowtie_membership
+(traversal.py) classifies regions RELATIVE TO A SEED SET, but web/spam
+analysis (Broder et al.'s bowtie is defined over the largest SCC),
+dependency-cycle detection over import graphs, and condensation-DAG
+analytics all want the full per-vertex SCC labeling.
+
+Algorithm (the distributed coloring / FW-BW-Trim family — Orzan's
+coloring with the forward-backward pruning of Fleischer-Hendrickson-
+Pinar, both long-public):
+
+  repeat until no active edges:
+    1. TRIM (bounded passes): a vertex with no in-edges or no out-edges
+       in the ACTIVE subgraph is a singleton SCC — assign and remove.
+       (Kills the DAG tails that would otherwise cost one outer round
+       each; bounded passes because a long path would need O(n) of them
+       — the outer loop remains correct without them.)
+    2. FORWARD COLORING to fixpoint: color(v) = min vid u that reaches
+       v (min-propagation along edge direction, O(reachability depth)
+       supersteps — the CC propagation shape on directed edges).
+    3. ROOTS: vertices r with color(r) = r. Every SCC containing r lies
+       inside r's color class (mutual reachability ⇒ same color).
+    4. BACKWARD BFS from ALL roots at once, restricted to edges whose
+       endpoints share a color: the vertices that reach their own color
+       root form SCC(root) — assign scc = color and remove them.
+  leftover isolated vertices are singleton SCCs.
+
+Each outer round settles at least one SCC per color class (the root's),
+and on web-shaped graphs (one giant SCC + DAG periphery) the first round
+settles the core while trim eats the periphery. A pure path graph
+degenerates to O(n/trim_passes) rounds — ``max_rounds`` raises rather
+than silently returning partial labels.
+
+Scale shape (house superstep discipline throughout):
+- ONE active-edge DataFrame, re-persisted per outer round (rounds shrink
+  it geometrically on real graphs, the CC-star lineage pattern);
+- every propagation superstep is join(frontier/state, edges) with a
+  ``shuffle_hash`` hint + ONE map-side-combined min/distinct aggregate,
+  AQE off inside loops, lazy localCheckpoint lineage truncation;
+- the trim degree check is two map-side-combined groupBys;
+- no driver-side iteration over components: roots, colors, and backward
+  frontiers are all DataFrames.
+
+Determinism: colors are min-vid, tie-breaks structural — the labeling
+is a pure function of the graph (scc label = min vid in the component,
+matching the CC operator's min-label convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class SCCResult:
+    labels: DataFrame  # (id: string, scc: string) — scc = min member id
+    rounds: int
+    n_components: int | None = None
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 20,
+    trim_passes: int = 3,
+    max_propagation_iters: int = 50,
+    num_partitions: int | None = None,
+) -> SCCResult:
+    """Per-vertex SCC labels (scc = min member id, the CC convention).
+
+    Raises if the structure needs more than ``max_rounds`` outer rounds —
+    partial labels are never returned silently.
+    """
+    from pagerank_project_spark.operators.pagerank import build_vertices
+
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = build_vertices(edges, vertices)
+
+    active0 = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "src")
+        .persist()
+    )
+    active = active0
+    n_active = active.count()
+    unassigned = verts.select("id").repartition(nparts, "id").localCheckpoint(eager=False)
+    assigned_parts: list[DataFrame] = []
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    rounds = 0
+    try:
+        while n_active > 0:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"SCC did not settle within {max_rounds} outer rounds "
+                    f"({n_active} active edges left); raise max_rounds"
+                )
+
+            # --- 1. trim: no-in or no-out vertices are singleton SCCs ----
+            for _ in range(trim_passes):
+                srcs = active.select(F.col("src").alias("id")).distinct()
+                dsts = active.select(F.col("dst").alias("id")).distinct()
+                both = srcs.join(dsts.hint("shuffle_hash"), "id")  # has in AND out
+                trimmed = (
+                    srcs.unionByName(dsts)
+                    .distinct()
+                    .join(both.hint("shuffle_hash"), "id", "left_anti")
+                    .localCheckpoint(eager=False)
+                )
+                if trimmed.count() == 0:
+                    break
+                assigned_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+                unassigned = unassigned.join(
+                    trimmed.hint("shuffle_hash"), "id", "left_anti"
+                ).localCheckpoint(eager=False)
+                active = (
+                    active.join(
+                        trimmed.select(F.col("id").alias("src")).hint("shuffle_hash"),
+                        "src",
+                        "left_anti",
+                    )
+                    .join(
+                        trimmed.select(F.col("id").alias("dst")).hint("shuffle_hash"),
+                        "dst",
+                        "left_anti",
+                    )
+                    .repartition(nparts, "src")
+                    .localCheckpoint(eager=False)
+                )
+                n_active = active.count()
+            if n_active == 0:
+                break
+
+            # --- 2. forward coloring to fixpoint -------------------------
+            # color(v) = min id that reaches v; endpoints of active edges
+            # only (vertices outside active are trim/isolated leftovers)
+            in_active = (
+                active.select(F.col("src").alias("id"))
+                .unionByName(active.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            color = in_active.select("id", F.col("id").alias("color"))
+            color = color.repartition(nparts, "id").localCheckpoint(eager=False)
+            for _ in range(max_propagation_iters):
+                pushed = (
+                    active.join(
+                        color.select(F.col("id").alias("src"), "color").hint("shuffle_hash"),
+                        "src",
+                    )
+                    .select(F.col("dst").alias("id"), "color")
+                )
+                new_color = (
+                    color.unionByName(pushed)
+                    .groupBy("id")
+                    .agg(F.min("color").alias("color"))
+                    .localCheckpoint(eager=False)
+                )
+                n_changed = (
+                    new_color.join(
+                        color.withColumnRenamed("color", "_old").hint("shuffle_hash"), "id"
+                    )
+                    .filter(F.col("color") != F.col("_old"))
+                    .count()
+                )
+                color = new_color
+                if n_changed == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"forward coloring did not converge in {max_propagation_iters} iters"
+                )
+
+            # --- 3+4. backward BFS from roots within color classes -------
+            roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
+            settled = roots.localCheckpoint(eager=False)
+            frontier = settled
+            while True:
+                # u joins the SCC frontier when u→f for a frontier f and
+                # color(u) = color(f) (reachability stays inside the class)
+                step = (
+                    active.join(
+                        frontier.select(F.col("id").alias("dst"), "color").hint("shuffle_hash"),
+                        "dst",
+                    )
+                    .select(F.col("src").alias("id"), "color")
+                    .join(color.withColumnRenamed("color", "_c").hint("shuffle_hash"), "id")
+                    .filter(F.col("color") == F.col("_c"))
+                    .select("id", "color")
+                    .distinct()
+                )
+                frontier = step.join(
+                    settled.select("id").hint("shuffle_hash"), "id", "left_anti"
+                ).localCheckpoint(eager=False)
+                if frontier.count() == 0:
+                    break
+                settled = settled.unionByName(frontier).localCheckpoint(eager=False)
+
+            assigned_parts.append(settled.select("id", F.col("color").alias("scc")))
+            unassigned = unassigned.join(
+                settled.select("id").hint("shuffle_hash"), "id", "left_anti"
+            ).localCheckpoint(eager=False)
+            active = (
+                active.join(
+                    settled.select(F.col("id").alias("src")).hint("shuffle_hash"),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    settled.select(F.col("id").alias("dst")).hint("shuffle_hash"),
+                    "dst",
+                    "left_anti",
+                )
+                .repartition(nparts, "src")
+                .localCheckpoint(eager=False)
+            )
+            n_active = active.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        active0.unpersist()
+
+    # leftovers (isolated all along, or stranded by removals) are singletons
+    labels = unassigned.select("id", F.col("id").alias("scc"))
+    for part in assigned_parts:
+        labels = labels.unionByName(part)
+    return SCCResult(labels=labels, rounds=rounds)

@@ -1,0 +1,90 @@
+"""Strongly connected components (operators/scc.py) vs networkx."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pagerank_project_spark.operators.scc import strongly_connected_components
+
+networkx = pytest.importorskip("networkx")
+
+
+def _nx_labels(edges, extra_vertices=()):
+    g = networkx.DiGraph()
+    g.add_edges_from(edges)
+    g.add_nodes_from(extra_vertices)
+    out = {}
+    for comp in networkx.strongly_connected_components(g):
+        lbl = min(comp)
+        for v in comp:
+            out[v] = lbl
+    return out
+
+
+def _run(spark, edges, extra_vertices=()):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    verts = None
+    if extra_vertices:
+        ids = sorted({x for p in edges for x in p} | set(extra_vertices))
+        verts = spark.createDataFrame([(v,) for v in ids], "id string")
+    res = strongly_connected_components(spark, e, vertices=verts)
+    return {r.id: r.scc for r in res.labels.collect()}, res
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {a,b,c} -> bridge -> cycle {x,y}; singleton s hangs off
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "x"), ("x", "y"), ("y", "x"), ("y", "s")]
+    got, res = _run(spark, edges)
+    assert got == _nx_labels(edges)
+    assert res.rounds >= 1
+
+
+def test_scc_dag_is_all_singletons(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    got, _ = _run(spark, edges)
+    assert got == {v: v for v in "abcde"}
+
+
+def test_scc_path_needs_trim_not_rounds(spark):
+    """A 12-vertex path: trim must eat it without blowing max_rounds."""
+    edges = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(11)]
+    got, res = _run(spark, edges)
+    assert got == _nx_labels(edges)
+    assert res.rounds <= 5
+
+
+def test_scc_isolated_vertices_are_singletons(spark):
+    edges = [("a", "b"), ("b", "a")]
+    got, _ = _run(spark, edges, extra_vertices=["iso1", "iso2"])
+    assert got == _nx_labels(edges, ["iso1", "iso2"])
+
+
+def test_scc_self_loop_singleton(spark):
+    edges = [("a", "a"), ("a", "b"), ("b", "a"), ("c", "c")]
+    got, _ = _run(spark, edges)
+    assert got == _nx_labels(edges)
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_scc_random_digraphs_match_networkx(spark, seed):
+    rng = random.Random(seed)
+    n, m = 60, 150
+    edges = list({(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)})
+    got, _ = _run(spark, edges)
+    assert got == _nx_labels(edges)
+
+
+def test_scc_partition_invariant(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = {
+        (r.id, r.scc)
+        for r in strongly_connected_components(spark, e).labels.collect()
+    }
+    b = {
+        (r.id, r.scc)
+        for r in strongly_connected_components(spark, e.repartition(7, "dst")).labels.collect()
+    }
+    assert a == b == {(v, "a") for v in "abcde"}
