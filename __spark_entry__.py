@@ -676,6 +676,21 @@ def q_code_scc(spark, sf_dir):
     return res.labels.select("id", "scc")
 
 
+def q_code_condensation(spark, sf_dir):
+    """Condensation DAG of the repo0 subgraph: SCC labels → inter-SCC
+    weighted edges (acyclic by construction — the dependency-layer view
+    of a cyclic import graph)."""
+    from pagerank_project_spark.operators.scc import condensation, strongly_connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    sub_e = edges.filter(
+        F.col("src").like("org0/repo0:%") & F.col("dst").like("org0/repo0:%")
+    )
+    sub_v = verts.filter(F.col("id").like("org0/repo0:%"))
+    res = strongly_connected_components(spark, sub_e, vertices=sub_v)
+    return condensation(sub_e, res.labels)
+
+
 def q_code_module_rank(spark, sf_dir):
     """quotient_graph → weighted PageRank composition: collapse the file
     graph to the module (directory) supergraph, then rank modules with
@@ -943,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_ppr_topk": q_code_ppr_topk,
         "code_module_rank": q_code_module_rank,
         "code_scc": q_code_scc,
+        "code_condensation": q_code_condensation,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1793,6 +1809,38 @@ SELECT id, MIN(o) AS scc FROM mutual GROUP BY id
 """
 
 
+def _code_condensation_sql(fix: str, repo: str = "org0/repo0") -> str:
+    """SCC closure oracle + inter-SCC edge collapse with RAW edge-row
+    multiplicity as weight (mirrors operators/scc.condensation)."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM read_parquet('{fix}/intended_edges/*.parquet')
+  WHERE src <> dst AND src LIKE '{repo}:%' AND dst LIKE '{repo}:%'
+),
+v AS (
+  SELECT repo || ':' || regexp_replace(path, '\\.[a-z]+$', '') AS id
+  FROM read_parquet('{fix}/source_table/data/*.parquet') WHERE repo = '{repo}'
+),
+reach(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, r1.b AS o FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (SELECT id, MIN(o) AS scc FROM mutual GROUP BY id),
+raw AS (
+  SELECT src, dst FROM read_parquet('{fix}/intended_edges/*.parquet')
+  WHERE src LIKE '{repo}:%' AND dst LIKE '{repo}:%'
+)
+SELECT ls.scc AS src_scc, ld.scc AS dst_scc, COUNT(*)::BIGINT AS weight
+FROM raw JOIN scc ls ON raw.src = ls.id JOIN scc ld ON raw.dst = ld.id
+WHERE ls.scc <> ld.scc
+GROUP BY 1, 2
+"""
+
+
 def _code_ppr_sql(fix: str, alpha: float, iterations: int, k: int) -> str:
     """Unrolled batched PPR — mirrors operators/ppr.ppr_batch term for
     term (restart AND dangling mass to the seed; sparse support), then
@@ -2202,6 +2250,7 @@ def _code_oracles() -> dict[str, str]:
         "code_neighbor_sample": _code_neighbor_sample_sql(fix),
         "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
         "code_scc": _code_scc_sql(fix),
+        "code_condensation": _code_condensation_sql(fix),
         "code_module_rank": _pagerank_k3_sql(
             e_sql=f"SELECT src_group AS src, dst_group AS dst, weight::DOUBLE AS wt "
                   f"FROM ({_code_module_graph_sql(fix)})",

@@ -232,3 +232,25 @@ def strongly_connected_components(
     for part in assigned_parts:
         labels = labels.unionByName(part)
     return SCCResult(labels=labels, rounds=rounds)
+
+
+def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """The condensation DAG: vertices = SCCs, edges = distinct inter-SCC
+    links weighted by vertex-level edge multiplicity. Cycle-free by
+    construction — the graph dependency analyses (build order, layer
+    assignment, bowtie's core/in/out) run on this instead of the raw
+    graph. Unlike traversal.quotient_graph (expression-keyed host/module
+    collapse), the SCC label is data, so the collapse is two
+    shuffle_hash label joins + one map-side-combined groupBy.
+
+    → (src_scc, dst_scc, weight).
+    """
+    lab = labels.select("id", "scc")
+    return (
+        edges.select("src", "dst")
+        .join(lab.select(F.col("id").alias("src"), F.col("scc").alias("src_scc")).hint("shuffle_hash"), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc")).hint("shuffle_hash"), "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").alias("weight"))
+    )

@@ -88,3 +88,23 @@ def test_scc_partition_invariant(spark):
         for r in strongly_connected_components(spark, e.repartition(7, "dst")).labels.collect()
     }
     assert a == b == {(v, "a") for v in "abcde"}
+
+
+def test_condensation_is_acyclic_and_matches_networkx(spark):
+    from pagerank_project_spark.operators.scc import condensation
+
+    rng = random.Random(5)
+    edges = list({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(90)})
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = strongly_connected_components(spark, e)
+    cond = {(r.src_scc, r.dst_scc, r.weight) for r in condensation(e, res.labels).collect()}
+
+    lab = _nx_labels(edges)
+    exp = {}
+    for s, d in edges:
+        if lab[s] != lab[d]:
+            exp[(lab[s], lab[d])] = exp.get((lab[s], lab[d]), 0) + 1
+    assert cond == {(a, b, w) for (a, b), w in exp.items()}
+
+    g = networkx.DiGraph((a, b) for a, b, _ in cond)
+    assert networkx.is_directed_acyclic_graph(g)
