@@ -56,13 +56,27 @@ def ppr_batch(
     alpha: float = 0.85,
     iterations: int = 3,
     num_partitions: int | None = None,
+    prune_below: float | None = None,
 ) -> DataFrame:
     """Personalized PageRank for every seed in one loop.
 
     ``seeds``: DataFrame with an ``id`` column (duplicates ignored).
     → (seed, id, rank): the support of each seed's PPR vector after
     ``iterations`` supersteps; Σ rank = 1 per seed exactly (up to fp).
+
+    State rows ∝ Σ_s |support(s)|: on a well-connected graph the exact
+    support reaches everything within ``iterations`` hops of a seed, so a
+    huge seed batch on a small-diameter graph tends toward |seeds|·|V|
+    rows. ``prune_below`` is the standard forward-push-style cap for that
+    regime: entries whose rank drops under the threshold are dropped
+    after each superstep (their downstream contribution is bounded by
+    the dropped mass, so per-seed rank error ≤ iterations·prune_below·
+    |support| in the worst case and far less in practice). None (the
+    default, and the oracle contract) keeps the iteration exact —
+    Σ rank = 1 holds only then.
     """
+    if prune_below is not None and prune_below < 0:
+        raise ValueError(f"prune_below must be >= 0, got {prune_below}")
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     if iterations < 1:
@@ -105,12 +119,12 @@ def ppr_batch(
                 F.col("seed").alias("id"),
                 (F.lit(alpha) * F.coalesce("dm", F.lit(0.0)) + F.lit(1.0 - alpha)).alias("x"),
             )
-            state = (
-                contrib.unionByName(seed_term)
-                .groupBy("seed", "id")
-                .agg(F.sum("x").alias("rank"))
-                .localCheckpoint(eager=False)
+            state = contrib.unionByName(seed_term).groupBy("seed", "id").agg(
+                F.sum("x").alias("rank")
             )
+            if prune_below is not None:
+                state = state.filter(F.col("rank") >= prune_below)
+            state = state.localCheckpoint(eager=False)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     w.unpersist()

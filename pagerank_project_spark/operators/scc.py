@@ -180,6 +180,12 @@ def strongly_connected_components(
                 )
 
             # --- 3+4. backward BFS from roots within color classes -------
+            # dst-partitioned reversed copy: the backward joins key on dst,
+            # and re-using the src-partitioned cache would re-Exchange all
+            # active edges EVERY BFS superstep — pay the repartition once
+            # per round instead
+            active_rev = active.repartition(nparts, "dst").persist()
+            active_rev.count()
             roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
             settled = roots.localCheckpoint(eager=False)
             frontier = settled
@@ -187,7 +193,7 @@ def strongly_connected_components(
                 # u joins the SCC frontier when u→f for a frontier f and
                 # color(u) = color(f) (reachability stays inside the class)
                 step = (
-                    active.join(
+                    active_rev.join(
                         frontier.select(F.col("id").alias("dst"), "color").hint("shuffle_hash"),
                         "dst",
                     )
@@ -203,6 +209,7 @@ def strongly_connected_components(
                 if frontier.count() == 0:
                     break
                 settled = settled.unionByName(frontier).localCheckpoint(eager=False)
+            active_rev.unpersist()
 
             assigned_parts.append(settled.select("id", F.col("color").alias("scc")))
             unassigned = unassigned.join(

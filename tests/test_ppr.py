@@ -108,3 +108,26 @@ def test_ppr_seed_keeps_restart_mass(spark):
         seeds = spark.createDataFrame([(s,)], "id string")
         rows = {r.id: r.rank for r in ppr_batch(spark, df, seeds, iterations=4).collect()}
         assert rows[s] >= 0.15 - 1e-12
+
+
+def test_ppr_prune_below_bounds_support_and_error(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("d",)], "id string")
+    exact = {
+        (r.seed, r.id): r.rank for r in ppr_batch(spark, df, seeds, iterations=4).collect()
+    }
+    pruned = {
+        (r.seed, r.id): r.rank
+        for r in ppr_batch(spark, df, seeds, iterations=4, prune_below=0.02).collect()
+    }
+    assert set(pruned) <= set(exact)
+    assert all(v >= 0.02 for v in pruned.values())
+    # surviving entries stay close to exact (dropped mass is small)
+    for k, v in pruned.items():
+        assert abs(v - exact[k]) < 4 * 0.02
+    # prune_below=0 is the exact iteration
+    zero = {
+        (r.seed, r.id): r.rank
+        for r in ppr_batch(spark, df, seeds, iterations=4, prune_below=0.0).collect()
+    }
+    assert zero == exact
