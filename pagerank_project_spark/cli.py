@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--walk_steps", type=int, default=5)
     p.add_argument("--fanouts", default="10,5",
                    help="comma-separated per-hop fan-out caps for --algorithm sample")
+    p.add_argument("--ppr_iterations", type=int, default=3,
+                   help="fixed superstep count for --algorithm ppr (walk length)")
+    p.add_argument("--prune_below", type=float, default=None,
+                   help="--algorithm ppr: drop state entries under this rank after "
+                        "each superstep (forward-push-style cap; default exact)")
     p.add_argument("--lpa_frontier", action="store_true",
                    help="LPA: exact frontier gather + fixpoint early stop "
                         "(run-toward-convergence shape)")
@@ -230,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
             from pagerank_project_spark.operators.ppr import ppr_topk
 
             out = ppr_topk(spark, edges, seeds, k=args.max_results,
-                           alpha=args.alpha, iterations=args.power)
+                           alpha=args.alpha, iterations=args.ppr_iterations,
+                           prune_below=args.prune_below)
             if not args.output:
                 for r in out.orderBy("seed", "rnk").limit(3 * args.max_results).collect():
                     print(f"seed={r['seed']} rnk={r['rnk']} rank={r['rank']:.6f} url={r['id']}")

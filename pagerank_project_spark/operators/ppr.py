@@ -83,17 +83,22 @@ def ppr_batch(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    ed = edges.select("src", "dst")
-    od = ed.groupBy("src").agg(F.count("*").alias("d"))
+    from pagerank_project_spark.operators.pagerank import BROADCAST_VERTEX_LIMIT, weighted_edges
+
+    # reference 1/outdeg transition semantics via the shared builder;
+    # n_vertices is unknown here, so force the non-broadcast path (never
+    # auto-broadcast a graph-sized outdeg table)
     w = (
-        ed.join(od.hint("shuffle_hash"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+        weighted_edges(edges.select("src", "dst"), n_vertices=BROADCAST_VERTEX_LIMIT + 1)
         .repartition(nparts, "src")
         .persist()
     )
     w.count()
     spine = seeds.select(F.col("id").alias("seed")).distinct().persist()
-    out_src = od.select("src")
+    # danglingness spine off the cached w (one distinct, reused every
+    # superstep — not a per-superstep groupBy over the raw edge table)
+    out_src = w.select("src").distinct().persist()
+    out_src.count()
 
     state = spine.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
     state = state.repartition(nparts, "seed", "id").localCheckpoint(eager=False)
@@ -127,8 +132,13 @@ def ppr_batch(
             state = state.localCheckpoint(eager=False)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    # materialize the final (lazily checkpointed) state BEFORE evicting the
+    # caches it streams — unpersisting first would make every later action
+    # recompute the transition table per superstep
+    state.count()
     w.unpersist()
     spine.unpersist()
+    out_src.unpersist()
     return state
 
 
@@ -139,6 +149,7 @@ def ppr_topk(
     k: int = 10,
     alpha: float = 0.85,
     iterations: int = 3,
+    prune_below: float | None = None,
 ) -> DataFrame:
     """Top-k PPR neighbors per seed (the candidate-generation shape).
     Ranks round to 6dp BEFORE the cut (ties → id) so the selected set is
@@ -147,7 +158,9 @@ def ppr_topk(
     cross the exchange)."""
     from pyspark.sql.window import Window
 
-    r = ppr_batch(spark, edges, seeds, alpha=alpha, iterations=iterations)
+    r = ppr_batch(
+        spark, edges, seeds, alpha=alpha, iterations=iterations, prune_below=prune_below
+    )
     r = r.select("seed", "id", F.round("rank", 6).alias("rank"))
     win = Window.partitionBy("seed").orderBy(F.desc("rank"), F.asc("id"))
     return (

@@ -59,7 +59,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class SCCResult:
     labels: DataFrame  # (id: string, scc: string) — scc = min member id
     rounds: int
-    n_components: int | None = None
 
 
 def strongly_connected_components(
@@ -68,13 +67,18 @@ def strongly_connected_components(
     vertices: DataFrame | None = None,
     max_rounds: int = 20,
     trim_passes: int = 3,
-    max_propagation_iters: int = 50,
+    max_propagation_iters: int | None = None,
     num_partitions: int | None = None,
 ) -> SCCResult:
     """Per-vertex SCC labels (scc = min member id, the CC convention).
 
     Raises if the structure needs more than ``max_rounds`` outer rounds —
-    partial labels are never returned silently.
+    partial labels are never returned silently. ``max_propagation_iters``
+    is a COST cap only (None, the default, runs the min-label coloring to
+    its fixpoint — monotone, so it terminates in at most the reachability
+    depth of the active subgraph; a 60-cycle legitimately needs ~60
+    supersteps); set it to bound wall-clock on unknown inputs, accepting
+    a raise instead of an over-deep loop.
     """
     from pagerank_project_spark.operators.pagerank import build_vertices
 
@@ -92,6 +96,7 @@ def strongly_connected_components(
     n_active = active.count()
     unassigned = verts.select("id").repartition(nparts, "id").localCheckpoint(eager=False)
     assigned_parts: list[DataFrame] = []
+    active_rev = None
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -150,7 +155,13 @@ def strongly_connected_components(
             )
             color = in_active.select("id", F.col("id").alias("color"))
             color = color.repartition(nparts, "id").localCheckpoint(eager=False)
-            for _ in range(max_propagation_iters):
+            prop_iters = 0
+            while True:
+                prop_iters += 1
+                if max_propagation_iters is not None and prop_iters > max_propagation_iters:
+                    raise RuntimeError(
+                        f"forward coloring exceeded the max_propagation_iters={max_propagation_iters} cost cap"
+                    )
                 pushed = (
                     active.join(
                         color.select(F.col("id").alias("src"), "color").hint("shuffle_hash"),
@@ -174,10 +185,6 @@ def strongly_connected_components(
                 color = new_color
                 if n_changed == 0:
                     break
-            else:
-                raise RuntimeError(
-                    f"forward coloring did not converge in {max_propagation_iters} iters"
-                )
 
             # --- 3+4. backward BFS from roots within color classes -------
             # dst-partitioned reversed copy: the backward joins key on dst,
@@ -233,6 +240,8 @@ def strongly_connected_components(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         active0.unpersist()
+        if active_rev is not None:
+            active_rev.unpersist()
 
     # leftovers (isolated all along, or stranded by removals) are singletons
     labels = unassigned.select("id", F.col("id").alias("scc"))
