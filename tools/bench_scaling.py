@@ -483,6 +483,14 @@ aggregate memory bandwidth per the same core ratio. Single-run
 whole-run RATIOS at this scale also carry ±0.05-0.1 run-to-run noise
 (round 3 measured 0.79 on slower code; the steady-state medians are the
 stable signal).
+(d) FRONTIER MODE (round 4, BENCH/lpa_frontier_sf1.json) — an exact
+changed-neighbor gather (broadcast semi-join filter over the cache,
+untouched vertices carry labels) was built, pinned bitwise-equal, and
+A/B'd at sf1/12 supersteps: with sync-LPA churn stalled at ~2% the
+filtered path ran 7-9 s/superstep vs 1.1 s full — two cache streams
+plus the state carry outweigh the skipped gather — so it ships default
+OFF, scoped to run-to-convergence jobs where its provably-identity
+fixpoint EARLY STOP (not the filter) is the win.
 
 PREPARED GRAPH (round 3, "prepare once, query many"): the
 query-independent build — vid encode joins, out-degree weights,
