@@ -396,6 +396,15 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dup_ngram_profile(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate-line removal TRANSFORM over the derived
+    multi-line corpus — rewrites clean_text, byte-exact cross-engine."""
+    from pagerank_project_spark.operators.textstats import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _ml_text_expr().alias("text"))
+    return corpus_line_dedup(docs)
+
+
 def q_quality_filter_rep(spark, sf_dir):
     """quality_filter_per_lang COMPOSED with the repetition pre-filter:
     docs whose duplicate-line fraction exceeds 0.3 (the doc_id ≡ 0 mod 6
@@ -929,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "repetition_profile": q_repetition_profile,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "line_dedup": q_line_dedup,
         "quality_filter_rep": q_quality_filter_rep,
         "pii_scrub": q_pii_scrub,
         "bigram_lm": q_bigram_lm,
@@ -1371,6 +1381,35 @@ SELECT b.doc_id, b.n_tokens,
        ROUND(COALESCE(cov.covered, 0) / greatest(b.n_tokens, 1)::DOUBLE, 6) AS dup_token_frac
 FROM base b
 LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+def _line_dedup_sql(min_docs: int = 2) -> str:
+    """Mirror of textstats.corpus_line_dedup over the ML_TEXT corpus:
+    trimmed non-empty lines, boilerplate = md5 in >= min_docs distinct
+    docs, kept lines re-joined in position order (string_agg ORDER BY)."""
+    return f"""
+WITH src AS (SELECT doc_id, {ML_TEXT_SQL} AS text FROM documents),
+l0 AS (SELECT doc_id, str_split(text, chr(10)) AS ln FROM src),
+l1 AS (SELECT doc_id, unnest(generate_series(1, len(ln))) AS pos, ln FROM l0),
+lines AS (SELECT doc_id, pos, trim(ln[pos]) AS l FROM l1),
+ne AS (SELECT doc_id, pos, l, md5(l) AS g FROM lines WHERE l <> ''),
+boiler AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM ne)
+  GROUP BY g HAVING COUNT(*) >= {min_docs}
+),
+kept AS (SELECT * FROM ne ANTI JOIN boiler USING (g)),
+agg AS (
+  SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines FROM ne GROUP BY doc_id)
+SELECT s.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       COALESCE(tot.n_lines, 0)::BIGINT AS n_lines,
+       (COALESCE(tot.n_lines, 0) - COALESCE(agg.n_kept, 0))::BIGINT AS n_removed
+FROM src s LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -2175,6 +2214,7 @@ FROM z GROUP BY doc_id
         "repetition_profile": _repetition_profile_sql(),
         "quality_filter_rep": _quality_filter_rep_sql(0.5, 0.3),
         "dup_ngram_spans": _dup_ngram_spans_sql(n=8),
+        "line_dedup": _line_dedup_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "bigram_lm": f"""
 WITH nt AS (SELECT {NORM_TEXT_SQL} AS t FROM documents),

@@ -429,3 +429,71 @@ def dup_ngram_profile(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate LINE removal — the CCNet/C4-style cleanup
+    TRANSFORM (not just a metric): drop every line that appears verbatim
+    in >= min_docs distinct documents (nav bars, cookie banners, license
+    headers), keeping the remaining lines in original order. This is the
+    cross-document complement of repetition_profile's in-doc dup-line
+    signal, and unlike the dedup operators it rewrites the text.
+
+    → (doc_id, clean_text, n_lines, n_removed) for every input doc;
+    n_lines counts the trimmed non-empty lines, clean_text joins the kept
+    ones with '\\n' ('' when everything was boilerplate).
+
+    Scale shape: lines are md5-hashed in the emitting projection (32-byte
+    digests shuffle, not line text); the boilerplate set is a distinct on
+    (hash, doc) + one map-side-combined count; the removal is a left_anti
+    join on the hash (never broadcast — web-scale boilerplate vocabulary);
+    reassembly sorts only WITHIN each doc's collected line array (row
+    bounded by document length, no global sort).
+    """
+    t = F.col(text_col)
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(t, r"\n")).alias("pos", "_raw"),
+        )
+        .select("doc_id", "pos", F.trim(F.col("_raw")).alias("l"))
+        .filter(F.col("l") != "")
+        .withColumn("g", F.md5("l"))
+    )
+    boiler = (
+        lines.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    kept = lines.join(boiler, "g", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "l"))), lambda s: s["l"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

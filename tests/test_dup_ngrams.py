@@ -83,3 +83,36 @@ def test_dup_ngram_profile_min_docs_three_drops_pairs(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {r.doc_id: r.n_dup_ngrams for r in dup_ngram_profile(df, n=8, min_docs=3).collect()}
     assert got == {r: v[2] for r, v in _replica(DOCS, 8, min_docs=3).items()}
+
+
+def test_corpus_line_dedup_removes_boilerplate_keeps_order(spark):
+    from pagerank_project_spark.operators.textstats import corpus_line_dedup
+
+    docs = [
+        (1, "COOKIE BANNER\nreal content one\nfooter text\nunique tail 1"),
+        (2, "COOKIE BANNER\nreal content two\nfooter text"),
+        (3, "totally original document\nnothing shared here"),
+        (4, "COOKIE BANNER\n\n  \nfooter text"),  # all boilerplate + blanks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+           for r in corpus_line_dedup(df).collect()}
+    assert got[1] == ("real content one\nunique tail 1", 4, 2)
+    assert got[2] == ("real content two", 3, 2)
+    assert got[3] == ("totally original document\nnothing shared here", 2, 0)
+    assert got[4] == ("", 2, 2)
+
+
+def test_corpus_line_dedup_min_docs_three(spark):
+    from pagerank_project_spark.operators.textstats import corpus_line_dedup
+
+    docs = [
+        (1, "twice shared\nthrice shared\nown 1"),
+        (2, "twice shared\nthrice shared\nown 2"),
+        (3, "thrice shared\nown 3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text for r in corpus_line_dedup(df, min_docs=3).collect()}
+    # only 'thrice shared' crosses the threshold
+    assert got[1] == "twice shared\nown 1"
+    assert got[3] == "own 3"
