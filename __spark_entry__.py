@@ -700,6 +700,30 @@ def q_code_condensation(spark, sf_dir):
     return condensation(sub_e, res.labels)
 
 
+def q_code_dep_layers(spark, sf_dir):
+    """Dependency layering of repo0: SCC → condensation → longest-path
+    levels (the build-stage assignment of a cyclic import graph)."""
+    from pagerank_project_spark.operators.scc import (
+        condensation,
+        dag_levels,
+        strongly_connected_components,
+    )
+
+    edges, verts = _code_graph(spark, sf_dir)
+    sub_e = edges.filter(
+        F.col("src").like("org0/repo0:%") & F.col("dst").like("org0/repo0:%")
+    )
+    sub_v = verts.filter(F.col("id").like("org0/repo0:%"))
+    res = strongly_connected_components(spark, sub_e, vertices=sub_v)
+    cond = condensation(sub_e, res.labels).select(
+        F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+    )
+    all_sccs = res.labels.select(F.col("scc").alias("id")).distinct()
+    return dag_levels(spark, cond, vertices=all_sccs).select(
+        F.col("id").alias("scc"), F.col("level").cast("long").alias("level")
+    )
+
+
 def q_code_module_rank(spark, sf_dir):
     """quotient_graph → weighted PageRank composition: collapse the file
     graph to the module (directory) supergraph, then rank modules with
@@ -969,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_module_rank": q_code_module_rank,
         "code_scc": q_code_scc,
         "code_condensation": q_code_condensation,
+        "code_dep_layers": q_code_dep_layers,
         "synonym_topk": q_synonym_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
@@ -1880,6 +1905,42 @@ GROUP BY 1, 2
 """
 
 
+def _code_dep_layers_sql(fix: str, repo: str = "org0/repo0") -> str:
+    """SCC closure → condensation edges → longest-path levels via a
+    depth-enumerating recursive walk (UNION-deduped (node, depth) pairs —
+    terminates because the condensation is a DAG; level = MAX depth)."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM read_parquet('{fix}/intended_edges/*.parquet')
+  WHERE src <> dst AND src LIKE '{repo}:%' AND dst LIKE '{repo}:%'
+),
+v AS (
+  SELECT repo || ':' || regexp_replace(path, '\\.[a-z]+$', '') AS id
+  FROM read_parquet('{fix}/source_table/data/*.parquet') WHERE repo = '{repo}'
+),
+reach(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS id, r1.b AS o FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (SELECT id, MIN(o) AS scc FROM mutual GROUP BY id),
+cond AS (
+  SELECT DISTINCT ls.scc AS s, ld.scc AS d
+  FROM e JOIN scc ls ON e.src = ls.id JOIN scc ld ON e.dst = ld.id
+  WHERE ls.scc <> ld.scc
+),
+walk(nd, depth) AS (
+  SELECT scc, 0 FROM (SELECT DISTINCT scc FROM scc)
+  UNION
+  SELECT c.d, w.depth + 1 FROM walk w JOIN cond c ON c.s = w.nd
+)
+SELECT nd AS scc, MAX(depth)::BIGINT AS level FROM walk GROUP BY nd
+"""
+
+
 def _code_ppr_sql(fix: str, alpha: float, iterations: int, k: int) -> str:
     """Unrolled batched PPR — mirrors operators/ppr.ppr_batch term for
     term (restart AND dangling mass to the seed; sparse support), then
@@ -2291,6 +2352,7 @@ def _code_oracles() -> dict[str, str]:
         "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
         "code_scc": _code_scc_sql(fix),
         "code_condensation": _code_condensation_sql(fix),
+        "code_dep_layers": _code_dep_layers_sql(fix),
         "code_module_rank": _pagerank_k3_sql(
             e_sql=f"SELECT src_group AS src, dst_group AS dst, weight::DOUBLE AS wt "
                   f"FROM ({_code_module_graph_sql(fix)})",

@@ -270,3 +270,81 @@ def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy("src_scc", "dst_scc")
         .agg(F.count("*").alias("weight"))
     )
+
+
+def dag_levels(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Longest-path layering of a DAG: level(v) = length of the longest
+    directed path ENDING at v (sources = 0) — the build-stage / dependency-
+    depth assignment over a condensation graph (run it on
+    ``condensation(...)`` output to layer a cyclic import graph).
+
+    Iterative max-relaxation, one superstep per level: propagate
+    level(u)+1 across u→v, keep the max per v, stop when nothing grows.
+    Terminates in (depth) supersteps on a DAG; a cycle would grow forever,
+    so exceeding ``max_iterations`` raises (cycle evidence, not a partial
+    answer). → (id, level).
+
+    Scale shape: the edge set is hash-partitioned on src once and
+    persisted; each superstep is one shuffle_hash join + one map-side-
+    combined max; lazy localCheckpoint truncation; AQE off in the loop.
+    """
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ed = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "src")
+        .persist()
+    )
+    ed.count()
+    if vertices is not None:
+        nodes = vertices.select("id")
+    else:
+        nodes = ed.select(F.col("src").alias("id")).unionByName(
+            ed.select(F.col("dst").alias("id"))
+        )
+    level = nodes.distinct().withColumn("level", F.lit(0))
+    level = level.repartition(nparts, "id").localCheckpoint(eager=False)
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, max_iterations + 2):
+            if it > max_iterations:
+                raise RuntimeError(
+                    f"dag_levels still relaxing after {max_iterations} supersteps — "
+                    "the input graph has a cycle (or raise max_iterations)"
+                )
+            pushed = (
+                ed.join(
+                    level.select(F.col("id").alias("src"), "level").hint("shuffle_hash"),
+                    "src",
+                )
+                .select(F.col("dst").alias("id"), (F.col("level") + 1).alias("level"))
+            )
+            new_level = (
+                level.unionByName(pushed)
+                .groupBy("id")
+                .agg(F.max("level").alias("level"))
+                .localCheckpoint(eager=False)
+            )
+            grown = (
+                new_level.join(
+                    level.withColumnRenamed("level", "_old").hint("shuffle_hash"), "id"
+                )
+                .filter(F.col("level") > F.col("_old"))
+                .count()
+            )
+            level = new_level
+            if grown == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    ed.unpersist()
+    return level

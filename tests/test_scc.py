@@ -6,6 +6,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pagerank_project_spark.operators.scc import strongly_connected_components
 
 networkx = pytest.importorskip("networkx")
@@ -108,3 +110,52 @@ def test_condensation_is_acyclic_and_matches_networkx(spark):
 
     g = networkx.DiGraph((a, b) for a, b, _ in cond)
     assert networkx.is_directed_acyclic_graph(g)
+
+
+def test_dag_levels_longest_path(spark):
+    from pagerank_project_spark.operators.scc import dag_levels
+
+    # diamond + tail: longest path to e goes a->b->d->e (3), not a->c->e? c->e skips d
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("c", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.level for r in dag_levels(spark, e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_dag_levels_isolated_via_vertices_and_cycle_raises(spark):
+    from pagerank_project_spark.operators.scc import dag_levels
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    verts = spark.createDataFrame([("a",), ("b",), ("lone",)], "id string")
+    got = {r.id: r.level for r in dag_levels(spark, e, vertices=verts).collect()}
+    assert got == {"a": 0, "b": 1, "lone": 0}
+
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], "src string, dst string")
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_levels(spark, cyc, max_iterations=5)
+
+
+def test_condensation_then_levels_matches_networkx(spark):
+    from pagerank_project_spark.operators.scc import condensation, dag_levels
+
+    rng = random.Random(9)
+    edges = list({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(70)})
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = strongly_connected_components(spark, e)
+    cond = condensation(e, res.labels).select(
+        F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+    )
+    all_sccs = res.labels.select(F.col("scc").alias("id")).distinct()
+    got = {r.id: r.level for r in dag_levels(spark, cond, vertices=all_sccs).collect()}
+
+    lab = _nx_labels(edges)
+    g = networkx.DiGraph()
+    g.add_nodes_from(set(lab.values()))
+    for s, d in edges:
+        if lab[s] != lab[d]:
+            g.add_edge(lab[s], lab[d])
+    exp = {v: 0 for v in g.nodes}
+    for v in networkx.topological_sort(g):
+        for u in g.predecessors(v):
+            exp[v] = max(exp[v], exp[u] + 1)
+    assert got == exp
