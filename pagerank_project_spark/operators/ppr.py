@@ -57,6 +57,7 @@ def ppr_batch(
     iterations: int = 3,
     num_partitions: int | None = None,
     prune_below: float | None = None,
+    cone: bool = True,
 ) -> DataFrame:
     """Personalized PageRank for every seed in one loop.
 
@@ -74,6 +75,21 @@ def ppr_batch(
     |support| in the worst case and far less in practice). None (the
     default, and the oracle contract) keeps the iteration exact —
     Σ rank = 1 holds only then.
+
+    ``cone`` (default True) is the OPPOSITE regime's lever — few seeds
+    on a huge graph: before building weights, the edge set is pruned to
+    out-edges of the seeds' (iterations−1)-hop out-cone, which is
+    exactly the set any superstep can read (support_t ⊆ cone_t), so the
+    ranks are BITWISE identical (pinned by test and by the unchanged
+    DuckDB oracle). Every out-edge of a cone member is kept, so outdeg
+    normalization and the dangling test stay exact. Measured sf16
+    (BENCH/BASELINE.md): without the cone a 2k-seed batch streams the
+    full 65M-row cache per superstep — pure memory-bandwidth work with
+    no scalable compute term (N→4N whole-run 0.52); the cone keeps ~3%
+    of the edges at that seed density, replacing those streams with
+    (iterations−1) cheap semi-join passes over the raw edge table plus
+    supersteps over the pruned cache. Turn it off when the seed set
+    covers most of the graph (the cone passes then buy nothing).
     """
     if prune_below is not None and prune_below < 0:
         raise ValueError(f"prune_below must be >= 0, got {prune_below}")
@@ -85,11 +101,35 @@ def ppr_batch(
 
     from pagerank_project_spark.operators.pagerank import BROADCAST_VERTEX_LIMIT, weighted_edges
 
+    ed = edges.select("src", "dst")
+    if cone:
+        # (iterations-1)-hop out-cone of the seeds; keeping ALL out-edges
+        # of cone members preserves outdeg and danglingness exactly
+        cone_v = (
+            seeds.select(F.col("id").alias("src"))
+            .distinct()
+            .repartition(nparts, "src")
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(iterations - 1):
+            nxt = (
+                ed.join(cone_v.hint("shuffle_hash"), "src")
+                .select(F.col("dst").alias("src"))
+                .distinct()
+            )
+            cone_v = (
+                cone_v.unionByName(nxt)
+                .distinct()
+                .repartition(nparts, "src")
+                .localCheckpoint(eager=False)
+            )
+        ed = ed.join(cone_v.hint("shuffle_hash"), "src", "semi")
+
     # reference 1/outdeg transition semantics via the shared builder;
     # n_vertices is unknown here, so force the non-broadcast path (never
     # auto-broadcast a graph-sized outdeg table)
     w = (
-        weighted_edges(edges.select("src", "dst"), n_vertices=BROADCAST_VERTEX_LIMIT + 1)
+        weighted_edges(ed, n_vertices=BROADCAST_VERTEX_LIMIT + 1)
         .repartition(nparts, "src")
         .persist()
     )
@@ -150,6 +190,7 @@ def ppr_topk(
     alpha: float = 0.85,
     iterations: int = 3,
     prune_below: float | None = None,
+    cone: bool = True,
 ) -> DataFrame:
     """Top-k PPR neighbors per seed (the candidate-generation shape).
     Ranks round to 6dp BEFORE the cut (ties → id) so the selected set is
@@ -159,7 +200,8 @@ def ppr_topk(
     from pyspark.sql.window import Window
 
     r = ppr_batch(
-        spark, edges, seeds, alpha=alpha, iterations=iterations, prune_below=prune_below
+        spark, edges, seeds, alpha=alpha, iterations=iterations,
+        prune_below=prune_below, cone=cone,
     )
     r = r.select("seed", "id", F.round("rank", 6).alias("rank"))
     win = Window.partitionBy("seed").orderBy(F.desc("rank"), F.asc("id"))

@@ -131,3 +131,18 @@ def test_ppr_prune_below_bounds_support_and_error(spark):
         for r in ppr_batch(spark, df, seeds, iterations=4, prune_below=0.0).collect()
     }
     assert zero == exact
+
+
+def test_ppr_cone_pruning_is_bitwise_exact(spark):
+    """The (iterations-1)-hop out-cone is exactly what any superstep can
+    read, so pruned and unpruned runs must agree bitwise — including the
+    dangling test (all out-edges of cone members are kept)."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    for seed_set in (["a"], ["e"], ["a", "d", "e"]):
+        seeds = spark.createDataFrame([(s,) for s in seed_set], "id string")
+        for iters in (1, 3):
+            on = {(r.seed, r.id, r.rank)
+                  for r in ppr_batch(spark, df, seeds, iterations=iters, cone=True).collect()}
+            off = {(r.seed, r.id, r.rank)
+                   for r in ppr_batch(spark, df, seeds, iterations=iters, cone=False).collect()}
+            assert on == off
