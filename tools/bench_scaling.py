@@ -216,6 +216,27 @@ elif op in ("lpa", "lpa_hash", "lpa_prod"):
                 "sec_per_iter": med, "phase_secs": res.phase_secs, "decode_sec": decode_sec,
                 "whole_run_eps": round(n_edges * lpa_iters / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op in ("ppr", "ppr_dense"):
+    # batched multi-seed personalized PageRank: a deterministic ~2k-seed
+    # md5 sample of the vertex set (same seeds on both legs by
+    # construction), 3 supersteps, whole run incl. top-10 cut. Every
+    # superstep streams the full transition cache against the
+    # (seed,id)-keyed state, so edge-scans/sec (n_edges*iters/wall) is
+    # the honest whole-run normalization, like CC/LPA.
+    from pagerank_project_spark.operators.ppr import ppr_topk
+    mod = max(1, n_verts // (20000 if op == "ppr_dense" else 2000))
+    seeds = verts.filter(
+        F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long") % mod == 0
+    )
+    n_seeds = seeds.count()
+    ppr_iters = 3
+    t0 = time.time()
+    n_out = ppr_topk(spark, edges, seeds, k=10, iterations=ppr_iters).count()
+    dt = time.time() - t0
+    out.update({"iters": ppr_iters, "n_seeds": n_seeds, "n_out_rows": n_out,
+                "wall_sec": round(dt, 2),
+                "whole_run_eps": round(n_edges * ppr_iters / dt, 1),
+                "edges_per_sec_per_superstep": round(n_edges * ppr_iters / dt, 1)})
 print(json.dumps(out))
 """
 
@@ -491,6 +512,30 @@ filtered path ran 7-9 s/superstep vs 1.1 s full — two cache streams
 plus the state carry outweigh the skipped gather — so it ships default
 OFF, scoped to run-to-convergence jobs where its provably-identity
 fixpoint EARLY STOP (not the filter) is the win.
+
+BATCHED PPR (round 4 — diagnostic cells, NOT a headline ledger row: PPR
+is an engine extension, and at sf16 the right-sized problem for it no
+longer exists — see below; raw rows ppr_*/ppr_dense_* in scaling.json).
+Three measured cells at sf16, 3 supersteps, whole run:
+(1) NO cone, 2k md5-sampled seeds: wall 159→76 s, eff 0.52 — with a
+tiny (seed,id) state the superstep is the purest form of the one-box
+DRAM ceiling: streaming the full 65M-row transition cache with almost
+no scalable compute term attached.
+(2) CONE PRUNING (shipped as the ppr_batch default after this
+measurement): restricting the cache to the seeds' (iterations−1)-hop
+out-cone — provably rank-identical, ~3% of edges kept at this seed
+density — cut the 1×4 wall 159→72 s. The 4×4 leg (86 s) then runs
+SLOWER than 1×4: the remaining job is too small for 16 slots (cone
+passes + barriers + small shuffles are the wall, not throughput).
+(3) 20k seeds (10×): wall 108→75 s, eff 0.36 — still floor-dominated;
+the fixed term is the (iterations−1) cone semi-join streams over the
+shared-DRAM edge cache plus ~20 stage barriers.
+The conclusion is the operator working as intended, not a scaling
+defect: cone pruning shrank a 2k-seed batch to a sub-2-minute job at
+sf16, below the scale where a 4× cluster pays for itself; the
+throughput-bound regime (seed batches whose cones cover the graph)
+degenerates to the PageRank superstep, whose scaling the headline rows
+already evidence (0.83).
 
 PREPARED GRAPH (round 3, "prepare once, query many"): the
 query-independent build — vid encode joins, out-degree weights,
