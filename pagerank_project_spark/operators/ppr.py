@@ -102,24 +102,37 @@ def ppr_batch(
     from pagerank_project_spark.operators.pagerank import BROADCAST_VERTEX_LIMIT, weighted_edges
 
     ed = edges.select("src", "dst")
+    # the seed spine is materialized FIRST and is the ONLY evaluation of
+    # ``seeds``: the cone below derives from the persisted spine, so a
+    # nondeterministic seeds plan (e.g. df.sample) cannot diverge between
+    # the cone filter and the restart/dangling terms
+    spine = seeds.select(F.col("id").alias("seed")).distinct().persist()
+    spine.count()
     if cone:
         # (iterations-1)-hop out-cone of the seeds; keeping ALL out-edges
-        # of cone members preserves outdeg and danglingness exactly
-        cone_v = (
-            seeds.select(F.col("id").alias("src"))
-            .distinct()
+        # of cone members preserves outdeg and danglingness exactly.
+        # Expansion joins only the NEW frontier each hop (already-visited
+        # vertices re-derive nothing); the cumulative cone only feeds the
+        # final semi filter.
+        frontier = (
+            spine.select(F.col("seed").alias("src"))
             .repartition(nparts, "src")
             .localCheckpoint(eager=False)
         )
+        cone_v = frontier
         for _ in range(iterations - 1):
             nxt = (
-                ed.join(cone_v.hint("shuffle_hash"), "src")
+                ed.join(frontier.hint("shuffle_hash"), "src")
                 .select(F.col("dst").alias("src"))
                 .distinct()
             )
+            frontier = nxt.join(
+                cone_v.hint("shuffle_hash"), "src", "left_anti"
+            ).localCheckpoint(eager=False)
+            if frontier.count() == 0:
+                break
             cone_v = (
-                cone_v.unionByName(nxt)
-                .distinct()
+                cone_v.unionByName(frontier)
                 .repartition(nparts, "src")
                 .localCheckpoint(eager=False)
             )
@@ -134,7 +147,6 @@ def ppr_batch(
         .persist()
     )
     w.count()
-    spine = seeds.select(F.col("id").alias("seed")).distinct().persist()
     # danglingness spine off the cached w (one distinct, reused every
     # superstep — not a per-superstep groupBy over the raw edge table)
     out_src = w.select("src").distinct().persist()

@@ -303,24 +303,23 @@ def dag_levels(
         .persist()
     )
     ed.count()
+    # edge endpoints are ALWAYS levelled; ``vertices`` only ADDS isolated
+    # nodes (a vertices arg missing endpoints must not silently truncate
+    # relaxation — the grown test could then converge early and wrongly)
+    nodes = ed.select(F.col("src").alias("id")).unionByName(
+        ed.select(F.col("dst").alias("id"))
+    )
     if vertices is not None:
-        nodes = vertices.select("id")
-    else:
-        nodes = ed.select(F.col("src").alias("id")).unionByName(
-            ed.select(F.col("dst").alias("id"))
-        )
+        nodes = nodes.unionByName(vertices.select("id"))
     level = nodes.distinct().withColumn("level", F.lit(0))
     level = level.repartition(nparts, "id").localCheckpoint(eager=False)
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for it in range(1, max_iterations + 2):
-            if it > max_iterations:
-                raise RuntimeError(
-                    f"dag_levels still relaxing after {max_iterations} supersteps — "
-                    "the input graph has a cycle (or raise max_iterations)"
-                )
+        it = 0
+        while True:
+            it += 1
             pushed = (
                 ed.join(
                     level.select(F.col("id").alias("src"), "level").hint("shuffle_hash"),
@@ -344,7 +343,14 @@ def dag_levels(
             level = new_level
             if grown == 0:
                 break
+            # a depth-D DAG grows on supersteps 1..D and confirms on D+1,
+            # so the budget bounds GROWTH supersteps, not the confirm pass
+            if it > max_iterations:
+                raise RuntimeError(
+                    f"dag_levels still relaxing after {max_iterations} supersteps — "
+                    "the input graph has a cycle (or raise max_iterations)"
+                )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    ed.unpersist()
+        ed.unpersist()
     return level

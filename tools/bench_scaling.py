@@ -233,10 +233,13 @@ elif op in ("ppr", "ppr_dense"):
     t0 = time.time()
     n_out = ppr_topk(spark, edges, seeds, k=10, iterations=ppr_iters).count()
     dt = time.time() - t0
+    # wall-normalized whole-run rate only — n_edges is the INPUT edge
+    # count (cone=True streams the pruned cone, so this is a nominal
+    # normalization for leg-to-leg ratios, NOT comparable to the
+    # per-superstep edges/s of the headline ops)
     out.update({"iters": ppr_iters, "n_seeds": n_seeds, "n_out_rows": n_out,
                 "wall_sec": round(dt, 2),
-                "whole_run_eps": round(n_edges * ppr_iters / dt, 1),
-                "edges_per_sec_per_superstep": round(n_edges * ppr_iters / dt, 1)})
+                "whole_run_eps": round(n_edges * ppr_iters / dt, 1)})
 print(json.dumps(out))
 """
 
