@@ -85,16 +85,38 @@ def strongly_connected_components(
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
 
+    # run the loop on xxhash64 LONG vids (the CC/LPA lesson, re-confirmed
+    # by this operator's own plan capture: min over STRING ids compiles to
+    # a per-superstep SortAggregate, the memory-bandwidth-bound shape the
+    # engine avoids everywhere else; min over LONG is a map-side-combined
+    # HashAggregate). Component labels are hash-min mid-run and relabelled
+    # to min-STRING member id ONCE at decode, so the output contract is
+    # unchanged bitwise. Collision-checked; falls back to raw strings.
+    chk = verts.agg(
+        F.count("*").alias("n"), F.count_distinct(F.xxhash64("id")).alias("nv")
+    ).first()
+    hashed = chk["nv"] == chk["n"]
+    if hashed:
+        # a plain projection — rebuilt on demand at decode, no cache needed
+        vmap = verts.select("id", F.xxhash64("id").alias("vid"))
+        enc_edges = edges.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        enc_verts = vmap.select(F.col("vid").alias("id"))
+    else:
+        vmap = None
+        enc_edges = edges.select("src", "dst")
+        enc_verts = verts.select("id")
+
     active0 = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
+        enc_edges.filter(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(nparts, "src")
         .persist()
     )
     active = active0
     n_active = active.count()
-    unassigned = verts.select("id").repartition(nparts, "id").localCheckpoint(eager=False)
+    unassigned = enc_verts.repartition(nparts, "id").localCheckpoint(eager=False)
     assigned_parts: list[DataFrame] = []
     active_rev = None
 
@@ -247,6 +269,16 @@ def strongly_connected_components(
     labels = unassigned.select("id", F.col("id").alias("scc"))
     for part in assigned_parts:
         labels = labels.unionByName(part)
+    if hashed:
+        # one-time decode: hash-min group labels → min-STRING member id
+        # (the CC relabel pattern), restoring the documented contract
+        dec = (
+            labels.select(F.col("id").alias("vid"), F.col("scc").alias("_g"))
+            .join(vmap.hint("shuffle_hash"), "vid")
+            .select("id", "_g")
+        )
+        rep = dec.groupBy("_g").agg(F.min("id").alias("scc"))
+        labels = dec.join(rep.hint("shuffle_hash"), "_g").select("id", "scc")
     return SCCResult(labels=labels, rounds=rounds)
 
 

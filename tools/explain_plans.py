@@ -287,6 +287,68 @@ discipline as the PageRank superstep with a composite key.""",
         fmt(ppr_small),
     ))
 
+    # --- 11. SCC forward-coloring superstep (round 4) ------------------------
+    # LONG vids, as the operator encodes internally (xxhash64): min over
+    # strings would compile to a SortAggregate — this section's original
+    # capture exposed exactly that, which drove the encode
+    scc_active = (
+        spark.range(0, 50_000)
+        .select((F.col("id") % 10_000).alias("src"), ((F.col("id") * 17) % 10_000).alias("dst"))
+        .distinct()
+        .repartition(8, "src")
+        .persist()
+    )
+    scc_active.count()
+    scc_color = (
+        scc_active.select(F.col("src").alias("id"))
+        .unionByName(scc_active.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("color"))
+        .repartition(8, "id")
+        .localCheckpoint(eager=False)
+    )
+    scc_color.count()
+    scc_pushed = scc_active.join(
+        scc_color.select(F.col("id").alias("src"), "color").hint("shuffle_hash"), "src"
+    ).select(F.col("dst").alias("id"), "color")
+    scc_step = (
+        scc_color.unionByName(scc_pushed).groupBy("id").agg(F.min("color").alias("color"))
+    )
+    sections.append((
+        "SCC forward-coloring superstep (min-vid propagation)",
+        """What to verify: the color state joins the persisted active-edge
+cache as a `ShuffledHashJoin` (hinted; the cache streams without an
+Exchange above its InMemoryTableScan), and the min-relaxation is ONE
+union feeding ONE `HashAggregate` pair (partial+final = map-side
+combined min) — which requires the LONG xxhash64 vids the operator
+encodes internally: the original capture over raw STRING ids compiled
+to a per-superstep SortAggregate (the memory-bandwidth-bound shape the
+engine avoids everywhere else), and that evidence drove the encode.
+Labels relabel to min-STRING member id once at decode. The backward
+BFS uses a per-round dst-partitioned reversed cache so its joins also
+avoid re-exchanging the edges.""",
+        fmt(scc_step),
+    ))
+
+    # --- 12. corpus line dedup: hash-in-projection + anti join (round 4) ----
+    from pagerank_project_spark.operators.textstats import corpus_line_dedup
+
+    ld_docs = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared header\nbody "), F.col("id").cast("string")).alias("text"),
+    )
+    sections.append((
+        "Corpus line dedup: md5-in-projection, anti-join removal",
+        """What to verify: the exploded line stream carries `md5(l)` in the
+SAME `Project` as the explode (32-byte digests shuffle, never line
+text); the boilerplate set is a distinct + partial/final `HashAggregate`
+count; the removal is a shuffle `LeftAnti` hash join on the digest (not
+a broadcast — web-scale boilerplate vocabulary); reassembly's
+`array_sort` runs inside the per-doc aggregate, so no global sort
+exists anywhere in the plan.""",
+        fmt(corpus_line_dedup(ld_docs)),
+    ))
+
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plans of the hot paths (generated by tools/explain_plans.py)\n\n"
