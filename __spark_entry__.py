@@ -571,6 +571,35 @@ def q_code_lpa_communities(spark, sf_dir):
     )
 
 
+def q_code_lpa_prepared(spark, sf_dir):
+    """The SAME 4-iteration LPA as code_lpa_communities, run from the
+    PREPARED undirected artifact (prepare_undirected → load → loop) —
+    pinned bitwise to the direct path, so one SQL text gates both."""
+    import tempfile
+
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.plans.prepared_graph import (
+        load_prepared_undirected,
+        prepare_undirected,
+    )
+
+    edges, verts = _code_graph(spark, sf_dir)
+    pdir = os.path.join(
+        tempfile.gettempdir(), f"prepared-und-code-{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if os.path.exists(f"{pdir}/manifest.json"):
+        pg = load_prepared_undirected(spark, pdir)
+    else:
+        pg = prepare_undirected(spark, edges, pdir, vertices=verts)
+    res = label_propagation(spark, iterations=4, prepared_und=pg)
+    return (
+        res.labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_communities"))
+    )
+
+
 def q_code_triangles(spark, sf_dir):
     from pagerank_project_spark.operators.triangles import triangle_count
 
@@ -980,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_cc_iter5": q_code_cc_iter5,
         "code_cc_sizes": q_code_cc_sizes,
         "code_lpa_communities": q_code_lpa_communities,
+        "code_lpa_prepared": q_code_lpa_prepared,
         "code_triangles": q_code_triangles,
         "code_modularity": q_code_modularity,
         "code_graph_profile": q_code_graph_profile,
@@ -2337,6 +2367,7 @@ def _code_oracles() -> dict[str, str]:
         "code_cc_iter5": _cc_iter5_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
         "code_cc_sizes": _cc_sizes_sql(_code_e_sql(fix), _code_v_sql(fix), cc_rounds),
         "code_lpa_communities": _code_lpa_sql(fix, iterations=4),
+        "code_lpa_prepared": _code_lpa_sql(fix, iterations=4),
         "code_triangles": _code_triangles_sql(fix),
         "code_modularity": _code_modularity_sql(fix, iterations=4),
         "code_graph_profile": _code_mixing_profile_sql(fix),

@@ -56,7 +56,7 @@ class LPAResult:
 
 def label_propagation(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     vertices: DataFrame | None = None,
     iterations: int = 10,
     num_partitions: int | None = None,
@@ -67,8 +67,19 @@ def label_propagation(
     vid_mode: str = "sorted",
     frontier: bool = False,
     frontier_threshold: float = 0.05,
+    prepared_und=None,
 ) -> LPAResult:
-    """``vmap``: optional pre-built (id, vid) map from
+    """``prepared_und``: a plans.prepared_graph.PreparedUndirected — the
+    prepare-once artifact holding the STRING-SORTED vid map and the baked
+    canonical symmetric edge table (bucketed by src, so the per-superstep
+    cache persists with ZERO shuffle). Mutually exclusive with ``edges``/
+    ``vmap``/``vid_mode='hash'``; labels are bitwise the direct sorted
+    path's (pinned by test and by the shared SQL oracle). This removes
+    exactly the one-time tails — validate, encode, symmetrize+distinct,
+    cache repartition — that the sf16 scaling analysis measured as the
+    whole-run cap (BENCH/BASELINE.md).
+
+    ``vmap``: optional pre-built (id, vid) map from
     ``vids.string_sorted_vids`` over the same vertex universe, so callers
     running CC + LPA on one graph pay the encode jobs once.
 
@@ -128,9 +139,30 @@ def label_propagation(
 
     if vid_mode not in ("sorted", "hash"):
         raise ValueError(f"unknown vid_mode {vid_mode!r}; one of ['sorted', 'hash']")
+    if (edges is None) == (prepared_und is None):
+        raise ValueError("pass exactly one of edges / prepared_und")
+    if prepared_und is not None and (vmap is not None or vid_mode == "hash"):
+        raise ValueError("prepared_und bakes the sorted vid map; "
+                         "vmap/vid_mode='hash' cannot be combined with it")
     import time as _time
 
     phases: dict = {}
+
+    if prepared_und is not None:
+        # prepare-once path: encode/symmetrize/repartition are baked; the
+        # bucketed scan's HashPartitioning(src, buckets) means the persist
+        # below is a straight read — no shuffle anywhere before superstep 1
+        nparts = num_partitions or prepared_und.buckets
+        vmap = prepared_und.vmap
+        t_ph = _time.time()
+        und = prepared_und.und.persist()
+        und.count()
+        phases["cache_fill"] = round(_time.time() - t_ph, 3)
+        return _run_loop(
+            spark, und, vmap, nparts, iterations, checkpoint_store, frontier,
+            frontier_threshold, phases,
+        )
+
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
     if vertices is not None and validate_vertices:
@@ -178,7 +210,23 @@ def label_propagation(
     und = und.repartition(nparts, "src").persist()
     und.count()
     phases["cache_fill"] = round(_time.time() - t_ph, 3)
+    return _run_loop(
+        spark, und, vmap, nparts, iterations, checkpoint_store, frontier,
+        frontier_threshold, phases,
+    )
 
+
+def _run_loop(
+    spark: SparkSession,
+    und: DataFrame,
+    vmap: DataFrame,
+    nparts: int,
+    iterations: int,
+    checkpoint_store,
+    frontier: bool,
+    frontier_threshold: float,
+    phases: dict,
+) -> LPAResult:
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
         # resume: re-encode the checkpointed (id, label) strings → (vid, lbl)
@@ -198,7 +246,7 @@ def label_propagation(
     it = start_iter
     iter_secs: list[float] = []
     frontier_sizes: list[int] = []
-    n_verts = verts.count() if frontier else 0
+    n_verts = vmap.count() if frontier else 0
     changed = None  # (vid) rows whose label changed last superstep; None = all/unknown
     changed_count = n_verts
     try:

@@ -165,3 +165,115 @@ def load_prepared(spark: SparkSession, path: str) -> PreparedGraph:
         m=manifest["m"],
         buckets=buckets,
     )
+
+
+# --------------------------------------------------------------------------
+# Prepared UNDIRECTED graph (LPA / propagation-mode consumers)
+# --------------------------------------------------------------------------
+
+UND_VERSION = 1
+
+
+@dataclass
+class PreparedUndirected:
+    vmap: DataFrame  # (id string, vid long) — STRING-SORTED vids
+    und: DataFrame  # (src long, dst long) symmetric distinct, bucketed by src
+    n: int
+    m_und: int  # symmetric row count (2x the canonical pair count)
+    buckets: int
+
+
+def _und_table_name(path: str) -> str:
+    return "prepared_und_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+
+
+def prepare_undirected(
+    spark: SparkSession,
+    edges: DataFrame,
+    path: str,
+    vertices: DataFrame | None = None,
+    buckets: int | None = None,
+) -> PreparedUndirected:
+    """Bake LPA's one-time graph build — the phases the sf16 scaling
+    analysis measured as the whole-run cap (BENCH/BASELINE.md): the
+    STRING-SORTED vid encode (so min-label tie-breaks stay min-STRING and
+    prepared runs are bitwise the direct path), the canonical long-pair
+    symmetrize + distinct, and the repartition the per-superstep cache
+    otherwise pays per run. The symmetric edge set lands in a bucketed,
+    per-bucket-sorted table whose scan reports HashPartitioning(src, n) —
+    a querying session persists it with ZERO shuffle and starts
+    superstepping."""
+    from pagerank_project_spark.operators.pagerank import build_vertices
+    from pagerank_project_spark.operators.vids import assert_endpoints_covered, string_sorted_vids
+
+    buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = build_vertices(edges, vertices)
+    n = verts.count()
+    if n == 0:
+        raise ValueError("empty graph")
+    if vertices is not None:
+        assert_endpoints_covered(edges, verts)
+    vmap = string_sorted_vids(verts, "id", buckets)
+    enc = (
+        edges.select("src", "dst")
+        .join(vmap.select(F.col("id").alias("src"), F.col("vid").alias("_s")), "src")
+        .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
+    )
+    canon = (
+        enc.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = canon.unionByName(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    os.makedirs(path, exist_ok=True)
+    vmap.write.mode("overwrite").parquet(f"{path}/vertices")
+
+    tbl = _und_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        und.repartition(buckets, "src")
+        .write.format("parquet")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .option("path", f"{path}/edges")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    m_und = spark.table(tbl).count()
+    manifest = {
+        "version": UND_VERSION, "kind": "undirected_sorted",
+        "n": n, "m_und": m_und, "buckets": buckets, "table": tbl,
+    }
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, f"{path}/manifest.json")
+    vmap.unpersist()
+    return load_prepared_undirected(spark, path)
+
+
+def load_prepared_undirected(spark: SparkSession, path: str) -> PreparedUndirected:
+    with open(f"{path}/manifest.json") as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "undirected_sorted" or manifest.get("version") != UND_VERSION:
+        raise ValueError(
+            f"prepared dir at {path} is not an undirected_sorted v{UND_VERSION} artifact"
+        )
+    tbl, buckets = manifest["table"], manifest["buckets"]
+    if spark.catalog.tableExists(tbl) and not _catalog_entry_matches(spark, tbl, path, buckets):
+        spark.sql(f"DROP TABLE {tbl}")
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT) USING PARQUET "
+            f"CLUSTERED BY (src) SORTED BY (src) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/edges'"
+        )
+    return PreparedUndirected(
+        vmap=spark.read.parquet(f"{path}/vertices"),
+        und=spark.table(tbl),
+        n=manifest["n"],
+        m_und=manifest["m_und"],
+        buckets=buckets,
+    )

@@ -103,3 +103,34 @@ def test_cli_ppr_sample_and_frontier(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert '"frontier_sizes"' in out
+
+
+def test_lpa_prepared_und_bitwise_equal_and_guards(spark, tmp_path):
+    """prepare_undirected bakes the sorted-vid encode + symmetrize; an LPA
+    run from the prepared table must be BITWISE the direct sorted path,
+    including across a fresh load of the artifact."""
+    from pagerank_project_spark.plans.prepared_graph import (
+        load_prepared_undirected,
+        prepare_undirected,
+    )
+
+    edges = spark.createDataFrame(_random_edges(13, 35, 100), "src string, dst string")
+    direct = label_propagation(spark, edges, iterations=4)
+    pdir = str(tmp_path / "und")
+    pg = prepare_undirected(spark, edges, pdir, buckets=4)
+    prepped = label_propagation(spark, iterations=4, prepared_und=pg)
+    assert _labels(prepped) == _labels(direct)
+    # reload path (fresh manifest read + catalog re-use)
+    pg2 = load_prepared_undirected(spark, pdir)
+    prepped2 = label_propagation(spark, iterations=4, prepared_und=pg2)
+    assert _labels(prepped2) == _labels(direct)
+    assert prepped.phase_secs is not None and "encode" not in prepped.phase_secs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        label_propagation(spark, edges, iterations=2, prepared_und=pg)
+    with _pytest.raises(ValueError, match="exactly one"):
+        label_propagation(spark, iterations=2)
+    with _pytest.raises(ValueError, match="bakes the sorted"):
+        label_propagation(spark, iterations=2, prepared_und=pg, vid_mode="hash")

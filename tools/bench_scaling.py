@@ -194,6 +194,40 @@ elif op == "cc":
                 "phase_secs": res.phase_secs, "decode_count_sec": decode_sec,
                 "whole_run_eps": round(n_edges * res.iterations / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op == "lpa_prepared":
+    # "prepare once, query many" applied to LPA: the 12-superstep
+    # production-length run from the baked undirected artifact — the
+    # one-time tails (validate/encode/symmetrize/cache repartition) that
+    # cap the direct whole-run number are paid at prepare time, shared by
+    # every query; the querying session persists the bucketed table with
+    # zero shuffle and starts superstepping. Labels bitwise = direct.
+    import os as _os
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.plans.prepared_graph import (
+        load_prepared_undirected, prepare_undirected,
+    )
+    nb = prep_buckets or 64
+    pdir = f"{fix}/prepared_und_{nb}b"
+    prep_sec = None
+    if not _os.path.exists(f"{pdir}/manifest.json"):
+        tp = time.time()
+        prepare_undirected(spark, edges, pdir, vertices=verts, buckets=nb)
+        prep_sec = round(time.time() - tp, 2)
+    pg = load_prepared_undirected(spark, pdir)
+    lpa_iters = 12
+    t0 = time.time()
+    res = label_propagation(spark, iterations=lpa_iters, prepared_und=pg)
+    t_dec = time.time()
+    res.labels.select(F.count("*")).collect()
+    decode_sec = round(time.time() - t_dec, 2)
+    dt = time.time() - t0
+    steady = sorted(res.iter_secs[1:]) or res.iter_secs
+    med = steady[len(steady) // 2]
+    out.update({"iters": lpa_iters, "wall_sec": round(dt, 2),
+                "prepare_once_sec": prep_sec, "iter_secs": res.iter_secs,
+                "sec_per_iter": med, "phase_secs": res.phase_secs, "decode_sec": decode_sec,
+                "whole_run_eps": round(n_edges * lpa_iters / dt, 1),
+                "edges_per_sec_per_superstep": round(n_edges / med, 1)})
 elif op in ("lpa", "lpa_hash", "lpa_prod"):
     from pagerank_project_spark.operators.labelprop import label_propagation
     # 'lpa' = the ledger row: sorted vids (compact 0..n vids delta-compress
