@@ -155,7 +155,15 @@ def label_propagation(
         nparts = num_partitions or prepared_und.buckets
         vmap = prepared_und.vmap
         t_ph = _time.time()
-        und = prepared_und.und.persist()
+        und = prepared_und.und
+        if nparts != prepared_und.buckets:
+            # the deployment rule from the prepared-PageRank A/B
+            # (BENCH/BASELINE.md): a cluster smaller than the bucket count
+            # repartitions at load — ONE shuffle buys a slots-matched loop
+            # (the fixed-bucket task count measured 0.55 N→4N for the LPA
+            # loop; slots-matched recovers direct superstep speed)
+            und = und.repartition(nparts, "src")
+        und = und.persist()
         und.count()
         phases["cache_fill"] = round(_time.time() - t_ph, 3)
         return _run_loop(

@@ -216,7 +216,13 @@ elif op == "lpa_prepared":
     pg = load_prepared_undirected(spark, pdir)
     lpa_iters = 12
     t0 = time.time()
-    res = label_propagation(spark, iterations=lpa_iters, prepared_und=pg)
+    # deployment rule: repartition the 64-bucket table to the leg's task
+    # slots at load (one shuffle) — the zero-exchange fixed-64-task loop
+    # measured 0.55 N→4N (scaling.json lpa_prepared64_*): per-task
+    # overhead is constant while the compute term scales, the same ratio
+    # artifact the prepared-PageRank A/B root-caused
+    res = label_propagation(spark, iterations=lpa_iters, prepared_und=pg,
+                            num_partitions=tot)
     t_dec = time.time()
     res.labels.select(F.count("*")).collect()
     decode_sec = round(time.time() - t_dec, 2)
