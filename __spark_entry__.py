@@ -575,8 +575,10 @@ def q_code_lpa_prepared(spark, sf_dir):
     """The SAME 4-iteration LPA as code_lpa_communities, run from the
     PREPARED undirected artifact (prepare_undirected → load → loop) —
     pinned bitwise to the direct path, so one SQL text gates both."""
+    import hashlib
     import tempfile
 
+    from pagerank_project_spark.datagen import ensure_fixture
     from pagerank_project_spark.operators.labelprop import label_propagation
     from pagerank_project_spark.plans.prepared_graph import (
         load_prepared_undirected,
@@ -584,9 +586,19 @@ def q_code_lpa_prepared(spark, sf_dir):
     )
 
     edges, verts = _code_graph(spark, sf_dir)
-    pdir = os.path.join(
-        tempfile.gettempdir(), f"prepared-und-code-{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # cache key = content fingerprint of the underlying fixture (manifest
+    # bytes + mtime) + the FULL sf_dir path — a regenerated fixture at the
+    # same basename, or a same-named fixture at another path, gets a fresh
+    # baked graph instead of silently reusing a stale one
+    fix = ensure_fixture(_sf_of(sf_dir))
+    man = f"{fix}/source_table/_manifest.json"
+    with open(man, "rb") as fh:
+        fp = hashlib.md5(
+            fh.read()
+            + str(os.path.getmtime(man)).encode()
+            + os.path.abspath(sf_dir).encode()
+        ).hexdigest()[:16]
+    pdir = os.path.join(tempfile.gettempdir(), f"prepared-und-code-{fp}")
     if os.path.exists(f"{pdir}/manifest.json"):
         pg = load_prepared_undirected(spark, pdir)
     else:
@@ -826,9 +838,17 @@ def q_embedding_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    from pagerank_project_spark.operators.similarity import ivf_topk
+    """IVF ANN with the DETERMINISTIC coarse quantizer (det_centroids — a
+    pure function of (n, dim, seed)): the DuckDB oracle embeds the same
+    centroid literals, so cell assignment, probing, candidate join, and
+    the exact rerank are all checked end-to-end. Quality-vs-brute-force
+    (with the trained quantizer too) is pinned by pytest."""
+    from pagerank_project_spark.operators.similarity import det_centroids, ivf_topk
 
-    return ivf_topk(spark, _t(spark, sf_dir, "embeddings"), k=5)
+    return ivf_topk(
+        spark, _t(spark, sf_dir, "embeddings"), k=5,
+        centroids=det_centroids(16, EMB_DIM, seed=29),
+    )
 
 
 # the synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51
@@ -836,6 +856,11 @@ def q_embedding_ivf_topk(spark, sf_dir):
 # the empty set; 0.3 keeps the same operator semantics with a non-trivial
 # (~1k-pair) answer. Planted-duplicate recall at 0.9 is pinned by pytest.
 NEAR_DUP_THRESHOLD = 0.3
+
+# testdata embeddings are 64-dim at every sf; the deterministic LSH plane /
+# IVF centroid constants (shared verbatim between the Spark kernels and the
+# generated oracle SQL literals) are keyed on this
+EMB_DIM = 64
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1538,6 +1563,194 @@ FROM inter
 JOIN sz sa ON sa.doc_id = a
 JOIN sz sb ON sb.doc_id = b
 WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# md5-deterministic LSH/ANN oracles (round 5): the five candidate generators
+# that were pytest-only in rounds 3-4 are now built on pseudo-randomness both
+# engines share — md5 hex→int for MinHash/SimHash (the random_walks pattern),
+# and plane/centroid CONSTANTS embedded verbatim as SQL literals for the
+# embedding paths — so signatures, buckets, candidates, and reranks are
+# cross-engine EXACT and the driver's hash check applies.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTES = f"""nt AS (SELECT doc_id, {{norm}} AS t FROM documents),
+toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) >= 3
+      THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]
+      ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+)"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.5, num_perm: int = 64, bands: int = 16) -> str:
+    """Mirror of dedup.minhash_lsh_pairs: md5(shingle) → two 48-bit base
+    hashes → double-hashed permutation mins (operators/dedup.py
+    _signatures_from_shingles) → band-slice string keys → bucket self-join
+    → exact-Jaccard rerank. Every integer is engine-exact."""
+    p = 2147483647
+    r = num_perm // bands
+    mins = ",\n  ".join(f"MIN((h1 + {i} * h2) % {p}) AS m{i}" for i in range(num_perm))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {key} AS bh FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(f"m{bi * r + j}::VARCHAR" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTES.format(norm=NORM_TEXT_SQL)},
+hs AS (SELECT doc_id,
+  ('0x' || substr(md5(sh), 1, 12))::BIGINT % {p} AS h1,
+  ('0x' || substr(md5(sh), 13, 12))::BIGINT % {p} AS h2
+  FROM sh),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM hs GROUP BY doc_id),
+band AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM band x JOIN band y USING (band, bh) WHERE x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+def _simhash_near_sql(max_hamming: int = 3) -> str:
+    """Mirror of dedup.simhash_near_pairs: 60-bit fingerprints from
+    md5-derived token hashes (bit j set iff 2·Σbit_j > n_tokens — integer-
+    exact majority, identical to the numpy kernel), 4×15-bit band
+    blocking, exact Hamming verify."""
+    from pagerank_project_spark.operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
+
+    r = SIMHASH_BITS // SIMHASH_BANDS
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * SUM((h >> {j}) & 1) > COUNT(*) THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {r * bi}) & {(1 << r) - 1} AS bh FROM fp"
+        for bi in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
+tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM toks),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+fp AS (SELECT doc_id, ({fp_terms})::BIGINT AS simhash FROM th GROUP BY doc_id),
+band AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS fa, y.simhash AS fb
+         FROM band x JOIN band y USING (band, bh) WHERE x.doc_id < y.doc_id)
+SELECT a, b, bit_count(xor(fa, fb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+def _vec_literal(row) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+
+def _emb_lsh_band_ctes(bands: int, rows_per_band: int, seed: int) -> str:
+    """Shared CTE prefix: raw-double vectors → per-band bucket keys from
+    the SAME hyperplane constants the Spark kernel broadcasts
+    (similarity.lsh_planes), with the projection rounded to 6dp before the
+    sign exactly as the kernel does."""
+    from pagerank_project_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(bands, rows_per_band, EMB_DIM, seed)
+    bh_exprs = []
+    for bi in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN ROUND(list_dot_product(e, {_vec_literal(planes[bi * rows_per_band + j])}), 6) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        bh_exprs.append(f"({terms}) AS bh{bi}")
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, bh{bi} AS bh FROM bits" for bi in range(bands)
+    )
+    return f"""v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+bits AS (SELECT vec_id, {', '.join(bh_exprs)} FROM v),
+band AS ({band_selects})"""
+
+
+_EMB_RERANK_SQL = """scored AS (
+  SELECT c.a, c.b,
+         ROUND(list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+  FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+)"""
+
+
+def _embedding_lsh_topk_sql(k: int = 5, bands: int = 8, rows_per_band: int = 4, seed: int = 23) -> str:
+    return f"""
+WITH {_emb_lsh_band_ctes(bands, rows_per_band, seed)},
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM band x JOIN band y USING (band, bh) WHERE x.vec_id <> y.vec_id),
+{_EMB_RERANK_SQL},
+ranked AS (
+  SELECT a AS vec_id, b AS neighbor, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, neighbor, cosine FROM ranked WHERE rn <= {k}
+"""
+
+
+def _embedding_near_dup_lsh_sql(threshold: float, bands: int = 16, rows_per_band: int = 2, seed: int = 23) -> str:
+    return f"""
+WITH {_emb_lsh_band_ctes(bands, rows_per_band, seed)},
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM band x JOIN band y USING (band, bh) WHERE x.vec_id < y.vec_id),
+{_EMB_RERANK_SQL}
+SELECT a, b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def _embedding_ivf_topk_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4, seed: int = 29) -> str:
+    """Mirror of similarity.ivf_topk with det_centroids: per-vector cell
+    similarities (rounded 6dp, over the L2-normalized vector — centroids
+    are unit rows) → assignment = rank-1 cell, probes = rank ≤ nprobe
+    (ties → lowest cell, matching the kernel's stable argsort) → bucket
+    join → exact rerank."""
+    from pagerank_project_spark.operators.similarity import det_centroids
+
+    cents = det_centroids(n_centroids, EMB_DIM, seed=seed)
+    sims = ", ".join(
+        f"ROUND(list_dot_product(e, {_vec_literal(c)}) / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 6)"
+        for c in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+sims AS (SELECT vec_id, [{sims}] AS s FROM n),
+exploded AS (SELECT vec_id, r.range AS ci, s[r.range] AS sim FROM sims, range(1, {n_centroids + 1}) r),
+ranked_cells AS (
+  SELECT vec_id, ci - 1 AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci ASC) AS rn
+  FROM exploded
+),
+assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {nprobe}),
+cand AS (SELECT DISTINCT p.vec_id AS a, c.vec_id AS b
+         FROM probes p JOIN assigned c USING (cell) WHERE p.vec_id <> c.vec_id),
+{_EMB_RERANK_SQL},
+ranked AS (
+  SELECT a AS vec_id, b AS neighbor, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, neighbor, cosine FROM ranked WHERE rn <= {k}
 """
 
 
@@ -2343,6 +2556,13 @@ SELECT doc_id, term, tfidf, rnk::INT AS rnk FROM ranked WHERE rnk <= 5
         "events_sessions": _events_sessions_sql(30),
         "docs_lang_sample": _docs_lang_sample_sql(),
         "token_quantiles": _token_quantiles_sql(),
+        # round-5: the LSH/ANN candidate generators, md5/constant-
+        # reformulated so the approximation MECHANISM is engine-exact
+        "minhash_lsh": _minhash_lsh_sql(0.5),
+        "simhash_near": _simhash_near_sql(3),
+        "embedding_lsh_topk": _embedding_lsh_topk_sql(k=5),
+        "embedding_ivf_topk": _embedding_ivf_topk_sql(k=5),
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(NEAR_DUP_THRESHOLD),
         **_code_oracles(),
     }
 

@@ -10,16 +10,19 @@ Four tiers, all over the ``documents`` table:
   is O(Σ postings²) per shingle, so at scale it runs AFTER candidate
   pruning, not instead of it.
 - **MinHash + LSH**: shingle → 64-perm MinHash signature (pure Catalyst:
-  xxhash64 + universal-hash transforms + array_min — no UDFs) → banding
-  (B bands × R rows, band key = hash of signature slice) → candidate
+  md5-derived 48-bit base hashes + Kirsch–Mitzenmacher double-hashed
+  permutations + array_min — ONE md5 per shingle, no UDFs) → banding
+  (B bands × R rows, band key = the signature slice itself) → candidate
   pairs via per-band bucket self-join → exact-Jaccard rerank. The scale
-  path: candidate generation touches only colliding docs; bucket
-  skew is bounded by band width. Signature math is engine-side only
-  (xxhash64 isn't portable) → pytest oracle checks containment +
-  recall vs the exact pairs, and the rerank stage guarantees precision.
-- **SimHash**: 64-bit fingerprint via vectorized Pandas UDF (numpy bit
-  ops over token-hash arrays — the sanctioned Arrow slow path), near-dup
-  = Hamming ≤ k via 4×16-bit band blocking, exact Hamming verify.
+  path: candidate generation touches only colliding docs; bucket skew is
+  bounded by band width. Every stage is engine-portable (md5 + hex-int
+  parse exist in Spark AND DuckDB) → the DuckDB oracle checks the EXACT
+  candidate/pair set; recall-vs-exact pytests check quality.
+- **SimHash**: 60-bit fingerprint (md5-derived token hashes, engine-
+  portable) via vectorized Pandas UDF (numpy bit votes over token-hash
+  arrays — the sanctioned Arrow slow path), near-dup = Hamming ≤ k via
+  4×15-bit band blocking (exact for k ≤ 3 by pigeonhole), exact Hamming
+  verify. Oracle-checkable end to end.
 
 Weighting note: signatures use DISTINCT shingles (set semantics), like
 the reference treats a page's link set relationally rather than by
@@ -127,28 +130,32 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _perm_params(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.int64)
-    return list(zip(a.tolist(), b.tolist()))
-
-
 def _signatures_from_shingles(sh_base: DataFrame, num_perm: int, id_col: str) -> DataFrame:
-    """(_id, shs: array<string>) → (id_col, sig: array<long>[num_perm])."""
+    """(_id, shs: array<string>) → (id_col, sig: array<long>[num_perm]).
+
+    CROSS-ENGINE-EXACT minhash (the md5 determinism pattern of
+    traversal.random_walks): the per-shingle base hashes are two 48-bit
+    integers parsed from md5(shingle) hex — md5 and hex-substring-to-int
+    exist identically in Spark (`conv(substr(md5(s),1,12),16,10)`) and
+    DuckDB (`('0x'||substr(md5(s),1,12))::BIGINT`) — and permutation i is
+    Kirsch–Mitzenmacher double hashing h1 + i·h2 (mod 2³¹−1): ONE md5
+    per shingle, 64 adds/mods, and every signature value is bit-equal in
+    both engines, so the whole LSH pipeline is DuckDB-oracle-checkable.
+    Overflow-safe: h1,h2 < P = 2³¹−1 and i < num_perm keeps h1+i·h2 well
+    under 2⁶³."""
     doc = sh_base.select(
         F.col("_id").alias(id_col),
-        F.transform("shs", lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P).alias("hs"),
+        F.transform("shs", lambda s: F.md5(s)).alias("md"),
+    ).select(
+        id_col,
+        F.transform("md", lambda m: F.conv(F.substring(m, 1, 12), 16, 10).cast("long") % MERSENNE_P).alias("h1"),
+        F.transform("md", lambda m: F.conv(F.substring(m, 13, 12), 16, 10).cast("long") % MERSENNE_P).alias("h2"),
     )
-
-    def perm_fn(a: int, b: int):
-        # factory → single-arg lambda (extra default args would change the
-        # arity PySpark infers for the higher-order function)
-        return lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE_P
-
     mins = [
-        F.array_min(F.transform(F.col("hs"), perm_fn(a, b))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
+        F.array_min(
+            F.zip_with("h1", "h2", lambda a, b: (a + F.lit(i) * b) % MERSENNE_P)
+        ).alias(f"m{i}")
+        for i in range(num_perm)
     ]
     return doc.select(id_col, F.array(*mins).alias("sig"))
 
@@ -157,7 +164,8 @@ def minhash_signatures(
     docs: DataFrame, num_perm: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """→ (doc_id, sig: array<long>[num_perm]). Pure Catalyst: shingle →
-    xxhash64 → per-permutation universal hash (a·h+b mod 2³¹−1) → min."""
+    md5 → two 48-bit base hashes → double-hashed permutations → min.
+    Engine-exact vs the DuckDB oracle (see _signatures_from_shingles)."""
     sh_base = _widen(docs).select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs"))
     return _signatures_from_shingles(sh_base, num_perm, id_col)
 
@@ -186,13 +194,16 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("shs")
     ).persist()
     sig = _signatures_from_shingles(sh_base, num_perm, id_col)
+    # band key = the signature slice rendered as a comma string — the join
+    # key itself is engine-portable (no xxhash64), so the DuckDB oracle
+    # reproduces the exact candidate set
     band_rows = sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1) for j in range(r)])).alias("bh"),
+                    F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]).alias("bh"),
                 )
                 for bi in range(bands)
             ])
@@ -229,14 +240,20 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"
+SIMHASH_BITS = 60  # 15 md5 hex chars per token — parseable as one BIGINT in
+#                    both Spark (conv) and DuckDB (hex cast), so fingerprints
+#                    are engine-exact and the near-pair query oracle-checkable
+SIMHASH_BANDS = 4  # 4 × 15-bit bands: ≥1 band equal is EXACT for hamming ≤ 3
 
 
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """64-bit SimHash per doc from its token-hash array — fully vectorized
-    ACROSS the batch (no per-row Python): all token hashes concatenate
-    into one flat array with a doc-index vector; per bit, the vote count
-    is one ``np.bincount`` over the doc indices (64 constant-bound
-    passes, each O(total_tokens))."""
+    """SIMHASH_BITS-wide SimHash per doc from its token-hash array — fully
+    vectorized ACROSS the batch (no per-row Python): all token hashes
+    concatenate into one flat array with a doc-index vector; per bit, the
+    vote count is one ``np.bincount`` over the doc indices (constant-bound
+    passes, each O(total_tokens)). Majority test is integer-exact
+    (2·ones > n), so the fingerprint is a pure function of the token set
+    and equals the DuckDB oracle's bit-sum formulation bitwise."""
     for pdf in batches:
         ndocs = len(pdf)
         out = np.zeros(ndocs, dtype=np.uint64)
@@ -245,37 +262,43 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if total:
             flat = np.concatenate([np.asarray(h, dtype=np.uint64) for h in pdf["hs"]]) if ndocs else np.empty(0, np.uint64)
             doc_idx = np.repeat(np.arange(ndocs), lens)
-            half = lens.astype(np.float64) / 2.0  # ones > tokens/2 ⇔ votes > 0
-            for bit in range(64):
+            for bit in range(SIMHASH_BITS):
                 ones = np.bincount(doc_idx, weights=((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.float64), minlength=ndocs)
-                out |= (ones > half).astype(np.uint64) << np.uint64(bit)
+                out |= (2 * ones > lens).astype(np.uint64) << np.uint64(bit)
         yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out.astype(np.int64)})
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, simhash: long). Token hashes computed engine-side
-    (xxhash64); the bit-vote reduction is an Arrow-batched numpy kernel."""
+    """→ (doc_id, simhash: long). Token hashes are the first 15 hex chars
+    of md5(token) parsed as a 60-bit integer — computed engine-side in
+    Catalyst and IDENTICAL in DuckDB (the md5 determinism pattern), so
+    the fingerprint itself is cross-engine-exact; the bit-vote reduction
+    is an Arrow-batched numpy kernel."""
     from pagerank_project_spark.operators.textstats import normalized_text
 
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     hashed = _widen(docs).select(
-        F.col(id_col).alias("doc_id"), F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        ).alias("hs"),
     )
     return hashed.mapInPandas(_simhash_batches, schema=SIMHASH_SCHEMA)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked on
-    4×16-bit bands (any equal band → candidate; exact for max_hamming ≤ 3
-    by pigeonhole). → (a, b, hamming)."""
+    4×15-bit bands (any equal band → candidate; exact for max_hamming ≤ 3
+    by pigeonhole). → (a, b, hamming: long)."""
+    r = SIMHASH_BITS // SIMHASH_BANDS
     fp = simhash_fingerprints(docs, **kw)
     bands = fp.select(
         F.col("doc_id").alias("_id"),
         F.col("simhash"),
         F.explode(
             F.array(*[
-                F.struct(F.lit(bi).alias("band"), F.shiftrightunsigned("simhash", 16 * bi).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
-                for bi in range(4)
+                F.struct(F.lit(bi).alias("band"), F.shiftrightunsigned("simhash", r * bi).bitwiseAND(F.lit((1 << r) - 1)).alias("bh"))
+                for bi in range(SIMHASH_BANDS)
             ])
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bh")
@@ -292,7 +315,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

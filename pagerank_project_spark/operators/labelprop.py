@@ -66,7 +66,7 @@ def label_propagation(
     vmap: DataFrame | None = None,
     vid_mode: str = "sorted",
     frontier: bool = False,
-    frontier_threshold: float = 0.05,
+    frontier_threshold: float = 0.0,
     prepared_und=None,
 ) -> LPAResult:
     """``prepared_und``: a plans.prepared_graph.PreparedUndirected — the
@@ -129,11 +129,13 @@ def label_propagation(
     and filtered supersteps ran 7-9 s vs the full path's 1.1 s: two full
     cache streams (touched build + filtered gather) plus the extra
     union-repartition state carry and per-superstep count cost more than
-    the E-row gather they avoid at this cache size. Hence the
-    conservative default threshold (0.05) and the recommendation: use
-    frontier=True for run-TO-CONVERGENCE jobs where the changed set
-    collapses to zero — the payoff is the provably-identity early STOP
-    (skipping whole supersteps), not the filtered gather."""
+    the E-row gather they avoid at this cache size. Hence the default
+    ``frontier_threshold=0.0``: frontier=True gives ONLY the
+    provably-identity early STOP (skipping whole supersteps once nothing
+    changes) — the filtered gather never engages unless the caller opts
+    in with a positive threshold, because the measured sync-LPA churn
+    stall (~2%) sits exactly in the regime an 0.05 default would engage
+    the 7-9x-slower filtered path."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 

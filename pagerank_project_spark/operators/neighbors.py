@@ -36,14 +36,32 @@ from pyspark.sql.window import Window
 
 
 def _sample_rank(salt: str) -> F.Column:
-    return F.md5(F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(salt)))
+    # F.concat (NOT concat_ws) so NULL handling matches SQL `||` exactly:
+    # both propagate NULL, where concat_ws would silently skip it and the
+    # md5 sample order would diverge across engines for nullable inputs
+    return F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"), F.lit("|"), F.lit(salt)))
 
 
 def sample_adjacency(edges: DataFrame, k: int, salt: str = "") -> DataFrame:
     """At most ``k`` out-neighbors per src, deterministically chosen by
-    md5 order. → (src, dst), a subset of the distinct non-loop edge set."""
+    md5 order. → (src, dst), a subset of the distinct non-loop edge set.
+
+    Ids MUST be strings: the ordering key is the rendered text
+    ``src|dst|salt``, and numeric types render differently per engine
+    (Spark ``1.0`` vs SQL ``1``), which would silently reorder the sample
+    — enforced with a raise, matching ``neighbor_sample_sql``'s contract.
+    NULL endpoints never reach the window (the non-loop filter drops them
+    in both engines).
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    types = dict(edges.select("src", "dst").dtypes)
+    bad = {c: t for c, t in types.items() if t != "string"}
+    if bad:
+        raise TypeError(
+            f"sample_adjacency requires string src/dst (md5 order is defined on the "
+            f"rendered text and must match the SQL mirror); got {bad} — cast explicitly"
+        )
     w = Window.partitionBy("src").orderBy(_sample_rank(salt).asc(), F.col("dst").asc())
     return (
         edges.select("src", "dst")

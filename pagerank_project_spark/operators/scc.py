@@ -81,9 +81,16 @@ def strongly_connected_components(
     a raise instead of an over-deep loop.
     """
     from pagerank_project_spark.operators.pagerank import build_vertices
+    from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = build_vertices(edges, vertices)
+    if vertices is not None:
+        # same contract as label_propagation/CC: a caller-supplied vertex
+        # table missing edge endpoints would silently drop those labels at
+        # the hashed-path vmap decode join (while the string fallback would
+        # emit them) — refuse loudly instead of diverging by code path
+        assert_endpoints_covered(edges, verts)
 
     # run the loop on xxhash64 LONG vids (the CC/LPA lesson, re-confirmed
     # by this operator's own plan capture: min over STRING ids compiles to
@@ -120,6 +127,20 @@ def strongly_connected_components(
     assigned_parts: list[DataFrame] = []
     active_rev = None
 
+    def _fold_assigned() -> None:
+        # keep the final union plan bounded: a deep input (high max_rounds,
+        # many trim passes) appends one part per pass/round, and a linear
+        # 80-branch unionByName chain pays quadratic analysis on the final
+        # plan — fold into ONE lazily-checkpointed part every few branches
+        # (localCheckpoint truncates the logical plan to a LogicalRDD
+        # immediately, even when eager=False)
+        if len(assigned_parts) >= 8:
+            folded = assigned_parts[0]
+            for p in assigned_parts[1:]:
+                folded = folded.unionByName(p)
+            assigned_parts.clear()
+            assigned_parts.append(folded.localCheckpoint(eager=False))
+
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     rounds = 0
@@ -146,6 +167,7 @@ def strongly_connected_components(
                 if trimmed.count() == 0:
                     break
                 assigned_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+                _fold_assigned()
                 unassigned = unassigned.join(
                     trimmed.hint("shuffle_hash"), "id", "left_anti"
                 ).localCheckpoint(eager=False)
@@ -241,6 +263,7 @@ def strongly_connected_components(
             active_rev.unpersist()
 
             assigned_parts.append(settled.select("id", F.col("color").alias("scc")))
+            _fold_assigned()
             unassigned = unassigned.join(
                 settled.select("id").hint("shuffle_hash"), "id", "left_anti"
             ).localCheckpoint(eager=False)

@@ -18,7 +18,10 @@ Two paths, as the driver brief mandates:
   seeded) computed engine-side via a vectorized Pandas UDF; candidates =
   bucket collisions on any of B sign-bands; exact cosine rerank on
   candidates only. Recall < 1 by construction — tests assert recall vs
-  brute force on fixtures.
+  brute force on fixtures. The hyperplanes are a pure function of
+  (bands, rows, dim, seed) and projections are rounded to 6dp before the
+  sign, so the DuckDB oracle (same constants embedded as literals)
+  reproduces buckets, candidates, and the final top-k EXACTLY.
 
 Cosines are computed in float64 and rounded to 6 dp so the DuckDB oracle
 (`list_cosine_similarity` over the same parquet) hash-matches; the
@@ -45,6 +48,27 @@ def _unit_rows(vectors: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(vectors, axis=1)
     norms[norms == 0] = 1.0
     return vectors / norms[:, None]
+
+
+def lsh_planes(bands: int, rows_per_band: int, dim: int, seed: int) -> np.ndarray:
+    """The (bands·rows_per_band, dim) Gaussian hyperplane matrix — a pure
+    function of its arguments, exposed so the DuckDB oracle generator can
+    embed the IDENTICAL constants as SQL literals (the signatures are then
+    cross-engine-exact; see _lsh_signatures' rounding note)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bands * rows_per_band, dim))
+
+
+def det_centroids(n_centroids: int, dim: int, seed: int = 29) -> np.ndarray:
+    """Data-independent coarse quantizer: seeded uniform[-0.5,0.5) rows,
+    L2-normalized. A pure function of (n_centroids, dim, seed) — the
+    contract query and its DuckDB oracle both call this, so the IVF cell
+    assignment is checkable end-to-end without shipping trained state.
+    For isotropic embedding distributions random directions partition the
+    sphere about as evenly as trained ones; use ``train_centroids`` when
+    the corpus is clustered."""
+    rng = np.random.default_rng(seed)
+    return _unit_rows(rng.random((n_centroids, dim)) - 0.5)
 
 
 def brute_force_topk(
@@ -155,14 +179,25 @@ def ivf_topk(
     seed: int = 29,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine top-k via IVF (inverted file): corpus
     vectors are bucketed by nearest coarse centroid (one vectorized Arrow
     pass); each query probes its ``nprobe`` nearest cells; candidates =
     cell-bucket join (never all-pairs); exact expression-level cosine
     rerank + Window top-k. Recall grows with nprobe/n_centroids — tests
-    assert a floor vs brute force. → (vec_id, neighbor, cosine)."""
-    cents = train_centroids(embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    assert a floor vs brute force. → (vec_id, neighbor, cosine).
+
+    ``centroids``: pass an explicit (n, dim) quantizer (e.g.
+    ``det_centroids`` — the oracle-checkable contract path) instead of
+    training one on the corpus sample. Centroid similarities are rounded
+    to 6dp before argmax/argsort (ties → lowest cell), so cell assignment
+    is a deterministic engine-exact function of the data + centroids."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    )
     b_cents = spark.sparkContext.broadcast(cents)
 
     def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,8 +206,9 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             v = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = np.round(v @ C.T, 6)
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(np.int64), "cell": (v @ C.T).argmax(axis=1).astype(np.int32)}
+                {"vec_id": pdf[id_col].to_numpy(np.int64), "cell": sims.argmax(axis=1).astype(np.int32)}
             )
 
     def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,7 +218,10 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             v = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            cells = np.argsort(-(v @ C.T), axis=1)[:, :npr]  # (n, nprobe)
+            sims = np.round(v @ C.T, 6)
+            # stable sort: ties broken by LOWEST cell index, matching the
+            # oracle's (sim DESC, cell ASC) row_number cut exactly
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :npr]  # (n, nprobe)
             ids = np.repeat(pdf[id_col].to_numpy(np.int64), npr)
             yield pd.DataFrame({"vec_id": ids, "cell": cells.reshape(-1).astype(np.int32)})
 
@@ -216,8 +255,7 @@ def _lsh_signatures(
     vectorized per band."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bands * rows_per_band, dim))
+    planes = lsh_planes(bands, rows_per_band, dim, seed)
     b_planes = spark.sparkContext.broadcast(planes)
 
     def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -227,7 +265,11 @@ def _lsh_signatures(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (v @ P.T) > 0  # (n, bands*r)
+            # round the projections to 6dp BEFORE taking the sign: BLAS
+            # and the oracle's sequential list_dot_product differ in the
+            # last ulps, and rounding makes the sign (hence every bucket)
+            # engine-exact — the same discipline as the cosine rerank
+            bits = np.round(v @ P.T, 6) > 0  # (n, bands*r)
             ids = pdf[id_col].to_numpy(np.int64)
             frames = []
             for bi in range(bands):
