@@ -992,47 +992,196 @@ def q_token_quantiles(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 consolidated contract queries. The driver harness checks exactly the
+# FIRST 50 queries() entries; rounds 3-4 had 63, leaving 13 un-checked. Each
+# merge below JOINS/UNIONS already-green families on their shared key so every
+# underlying operator keeps a hard per-value check, and the registry fits the
+# 50-row window with EVERY entry oracle-backed. The single-family q_* functions
+# stay callable (tests and bench use them).
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_hits_k3_suite(spark, sf_dir):
+    """pagerank_k3 + personalized + weighted + HITS, one row per vertex of
+    the shared customer→supplier graph: (id, rank, rank_pers, rank_w,
+    auth, hub). Four independently-unrolled SQL oracles joined on id."""
+    pr = q_pagerank_k3(spark, sf_dir)
+    pp = q_pagerank_k3_personalized(spark, sf_dir).withColumnRenamed("rank", "rank_pers")
+    pw = q_pagerank_k3_weighted(spark, sf_dir).withColumnRenamed("rank", "rank_w")
+    h = q_hits_k3(spark, sf_dir)
+    return pr.join(pp, "id").join(pw, "id").join(h, "id")
+
+
+def q_triangle_clustering(spark, sf_dir):
+    """Per-vertex clustering coefficients + the global triangle count as a
+    constant column (both over the supplier co-occurrence graph)."""
+    from pagerank_project_spark.operators.triangles import clustering_coefficient, triangle_count
+
+    pairs = _supplier_pairs(spark, sf_dir)
+    tri = triangle_count(spark, pairs)
+    out = clustering_coefficient(spark, pairs)
+    return out.select(
+        "id", F.round("coeff", 6).alias("coeff"), F.lit(tri.total).alias("n_triangles")
+    )
+
+
+def q_code_cc(spark, sf_dir):
+    """CC over the code graph, both contracts in one row per vertex:
+    the exactly-5-superstep intermediate label (≡ unrolled SQL) and the
+    CONVERGED star-contraction label with its component size."""
+    from pagerank_project_spark.operators.components import connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    it5 = connected_components(spark, edges, vertices=verts, max_iterations=5, algorithm="propagation")
+    conv = connected_components(spark, edges, vertices=verts)
+    sizes = conv.labels.groupBy("component").agg(F.count("*").alias("component_size"))
+    return (
+        it5.labels.select("id", F.col("component").alias("component_iter5"))
+        .join(conv.labels, "id")
+        .join(sizes, "component")
+        .select("id", "component_iter5", "component", "component_size")
+    )
+
+
+def q_code_pagerank_conv_top50(spark, sf_dir):
+    """Run-to-convergence top-50 through BOTH physical strategies —
+    relational superstep and salted-CSR pandas-UDF — joined on id against
+    ONE convergence-in-SQL oracle (rank duplicated): strategy equivalence
+    becomes part of the hash check itself."""
+    rel = q_code_pagerank_top50(spark, sf_dir)
+    csr = q_code_pagerank_csr_top50(spark, sf_dir).withColumnRenamed("rank", "rank_csr")
+    return rel.join(csr, "id").select("id", "rank", "rank_csr")
+
+
+def q_text_profile_lang(spark, sf_dir):
+    """Per-doc text profile + the language histogram riding along as a
+    per-language count column (lang_n_docs)."""
+    prof = q_text_profile(spark, sf_dir)
+    hist = q_lang_histogram(spark, sf_dir).withColumnRenamed("n_docs", "lang_n_docs")
+    return prof.join(hist, "lang_pred").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio", "quality",
+        "lang_pred", "fp", "lang_n_docs",
+    )
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Repetition signals per doc + whether the repetition-composed
+    per-language quality filter KEEPS the doc (kept = 1/0 long — the
+    quality arithmetic itself is hash-checked via quality_filter)."""
+    rep = q_repetition_profile(spark, sf_dir)
+    kept = q_quality_filter_rep(spark, sf_dir).select("doc_id").withColumn("_k", F.lit(1))
+    return rep.join(kept, "doc_id", "left").withColumn(
+        "kept", F.coalesce(F.col("_k"), F.lit(0)).cast("long")
+    ).drop("_k")
+
+
+def q_embedding_ann_topk(spark, sf_dir):
+    """Both ANN candidate generators (hyperplane-LSH and deterministic-IVF)
+    in one relation, tagged by method — each side's buckets, candidates,
+    and exact rerank are engine-exact (md5/constant reformulation)."""
+    lsh = q_embedding_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "neighbor", "cosine"
+    )
+    ivf = q_embedding_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "neighbor", "cosine"
+    )
+    return lsh.unionByName(ivf)
+
+
+def q_embedding_near_dup_suite(spark, sf_dir):
+    """Exact streaming near-dup pairs + the LSH-bucketed scale path,
+    tagged by method (the LSH side is a recall<1 SUBSET by construction —
+    both sides hash-checked against their own mechanism)."""
+    ex = q_embedding_near_dup(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "a", "b", "cosine"
+    )
+    lsh = q_embedding_near_dup_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "a", "b", "cosine"
+    )
+    return ex.unionByName(lsh)
+
+
+def q_code_module_rank_graph(spark, sf_dir):
+    """Module quotient graph with the module-level weighted PageRank of
+    both endpoints joined on: (src_group, dst_group, weight, src_rank,
+    dst_rank)."""
+    mg = q_code_module_graph(spark, sf_dir)
+    pr = q_code_module_rank(spark, sf_dir)
+    return (
+        mg.join(pr.select(F.col("id").alias("src_group"), F.col("rank").alias("src_rank")), "src_group")
+        .join(pr.select(F.col("id").alias("dst_group"), F.col("rank").alias("dst_rank")), "dst_group")
+        .select("src_group", "dst_group", "weight", "src_rank", "dst_rank")
+    )
+
+
+def q_code_scc_condensation(spark, sf_dir):
+    """SCC labels + condensation DAG of the repo0 import subgraph in one
+    tagged relation: ('scc', id, scc-label, 0) ∪ ('edge', src_scc,
+    dst_scc, weight)."""
+    from pagerank_project_spark.operators.scc import condensation, strongly_connected_components
+
+    edges, verts = _code_graph(spark, sf_dir)
+    sub_e = edges.filter(
+        F.col("src").like("org0/repo0:%") & F.col("dst").like("org0/repo0:%")
+    )
+    sub_v = verts.filter(F.col("id").like("org0/repo0:%"))
+    res = strongly_connected_components(spark, sub_e, vertices=sub_v)
+    lab = res.labels.select(
+        F.lit("scc").alias("kind"), F.col("id").alias("a"), F.col("scc").alias("b"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    ced = condensation(sub_e, res.labels).select(
+        F.lit("edge").alias("kind"), F.col("src_scc").alias("a"),
+        F.col("dst_scc").alias("b"), F.col("weight").cast("long").alias("w"),
+    )
+    return lab.unionByName(ced)
+
+
+def q_docs_lang_sample_quantiles(spark, sf_dir):
+    """Stratified hash-sampled docs with their language's exact token
+    quantiles joined on: (doc_id, lang_pred, p50_tokens, p90_tokens,
+    lang_n_docs)."""
+    samp = q_docs_lang_sample(spark, sf_dir)
+    quant = q_token_quantiles(spark, sf_dir).withColumnRenamed("n_docs", "lang_n_docs")
+    return samp.join(quant, "lang_pred").select(
+        "doc_id", "lang_pred", "p50_tokens", "p90_tokens", "lang_n_docs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries (the driver's check window), every one oracle-backed.
     return {
         # reference-derived operator families (SURVEY.md §2)
         "degree_distribution": q_degree_distribution,
         "inlink_ratio_filter": q_inlink_ratio_filter,
-        "pagerank_k3": q_pagerank_k3,
-        "pagerank_k3_personalized": q_pagerank_k3_personalized,
+        "pagerank_hits_k3_suite": q_pagerank_hits_k3_suite,
         "cc_iter5": q_cc_iter5,
         "pagerank_k3_prepared": q_pagerank_k3_prepared,
-        "triangle_count": q_triangle_count,
-        "clustering_coeff": q_clustering_coeff,
-        "hits_k3": q_hits_k3,
+        "triangle_clustering": q_triangle_clustering,
         "kcore_iter4": q_kcore_iter4,
         "link_pred_topk": q_link_pred_topk,
         "search_topk": q_search_topk,
         # training-data pipeline suite
         "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
+        "text_profile_lang": q_text_profile_lang,
         "tfidf_topk": q_tfidf_topk,
         "quality_filter": q_quality_filter,
-        "pagerank_k3_weighted": q_pagerank_k3_weighted,
         "lm_surprisal": q_lm_surprisal,
-        "repetition_profile": q_repetition_profile,
+        "repetition_quality": q_repetition_quality,
         "dup_ngram_spans": q_dup_ngram_spans,
         "line_dedup": q_line_dedup,
-        "quality_filter_rep": q_quality_filter_rep,
         "pii_scrub": q_pii_scrub,
         "bigram_lm": q_bigram_lm,
-        "lang_histogram": q_lang_histogram,
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
-        # synthetic source-code fixture (SQL oracles over the same parquet
-        # where expressible; convergence/CSR paths stay rows-only)
+        # synthetic source-code fixture
         "code_extract_summary": q_code_extract_summary,
         "code_pagerank_k3": q_code_pagerank_k3,
-        "code_pagerank_top50": q_code_pagerank_top50,
-        "code_pagerank_csr_top50": q_code_pagerank_csr_top50,
-        "code_cc_iter5": q_code_cc_iter5,
-        "code_cc_sizes": q_code_cc_sizes,
+        "code_pagerank_conv_top50": q_code_pagerank_conv_top50,
+        "code_cc": q_code_cc,
         "code_lpa_communities": q_code_lpa_communities,
         "code_lpa_prepared": q_code_lpa_prepared,
         "code_triangles": q_code_triangles,
@@ -1040,27 +1189,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_graph_profile": q_code_graph_profile,
         "code_bfs_depths": q_code_bfs_depths,
         "code_random_walks": q_code_random_walks,
-        "code_module_graph": q_code_module_graph,
         "code_spam_mass": q_code_spam_mass,
         "code_bowtie": q_code_bowtie,
         "code_neighbor_sample": q_code_neighbor_sample,
         "code_ppr_topk": q_code_ppr_topk,
-        "code_module_rank": q_code_module_rank,
-        "code_scc": q_code_scc,
-        "code_condensation": q_code_condensation,
+        "code_module_rank_graph": q_code_module_rank_graph,
+        "code_scc_condensation": q_code_scc_condensation,
         "code_dep_layers": q_code_dep_layers,
         "synonym_topk": q_synonym_topk,
+        # md5/constant-deterministic LSH & ANN (engine-exact mechanisms)
         "minhash_lsh": q_minhash_lsh,
         "simhash_near": q_simhash_near,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_ann_topk": q_embedding_ann_topk,
+        "embedding_near_dup_suite": q_embedding_near_dup_suite,
         "media_audio_profile": q_media_audio_profile,
         "dedup_clusters": q_dedup_clusters,
         "events_sessions": q_events_sessions,
-        "docs_lang_sample": q_docs_lang_sample,
-        "token_quantiles": q_token_quantiles,
+        "docs_lang_sample_quantiles": q_docs_lang_sample_quantiles,
     }
 
 
@@ -1328,6 +1473,21 @@ def _cc_sizes_sql(e_sql: str, v_sql: str, rounds: int) -> str:
 SELECT size, COUNT(*)::BIGINT AS n_components FROM (
   SELECT component, COUNT(*)::BIGINT AS size FROM l{rounds} GROUP BY component
 ) GROUP BY size
+"""
+    )
+
+
+def _cc_labels_sizes_sql(e_sql: str, v_sql: str, rounds: int) -> str:
+    """CONVERGED per-vertex labels + component size (the per-vertex twin of
+    _cc_sizes_sql — same unroll-depth reasoning; the Spark side runs star
+    contraction, so agreement cross-checks two algorithms)."""
+    return (
+        _cc_prop_body(e_sql, v_sql, rounds)
+        + f"""
+SELECT m.id, m.component, s.component_size
+FROM l{rounds} m JOIN (
+  SELECT component, COUNT(*)::BIGINT AS component_size FROM l{rounds} GROUP BY component
+) s USING (component)
 """
     )
 
@@ -2395,15 +2555,17 @@ SELECT (SELECT c FROM nv) AS n_vertices,
        (SELECT COUNT(*)::BIGINT FROM e) AS n_edges_total,
        (SELECT COUNT(*)::BIGINT FROM e JOIN ind USING (dst), nv WHERE ind.c < 0.3 * nv.c) AS n_edges_kept
 """,
-        "pagerank_k3": _pagerank_k3_sql(),
-        "pagerank_k3_prepared": _pagerank_k3_sql(),
-        "pagerank_k3_weighted": _pagerank_k3_sql(
-            e_sql="""
+        "pagerank_hits_k3_suite": f"""
+SELECT a.id, a.rank, b.rank AS rank_pers, c.rank AS rank_w, d.auth, d.hub
+FROM ({_pagerank_k3_sql()}) a
+JOIN ({_pagerank_k3_sql(pv_pred_sql="CASE WHEN id LIKE '%1%' THEN 1.0 ELSE 0.0 END")}) b USING (id)
+JOIN ({_pagerank_k3_sql(e_sql='''
   SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, l_quantity AS wt
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+''', wt_sql="wt")}) c USING (id)
+JOIN ({_hits_k3_sql()}) d USING (id)
 """,
-            wt_sql="wt",
-        ),
+        "pagerank_k3_prepared": _pagerank_k3_sql(),
         "lm_surprisal": f"""
 WITH nt AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents),
 toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM nt),
@@ -2417,11 +2579,8 @@ lm AS (SELECT w1, w2, c::DOUBLE / ctx AS p FROM c JOIN ctx USING (w1))
 SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, ROUND(AVG(-ln(p)), 6) AS avg_surprisal
 FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
 """,
-        "pagerank_k3_personalized": _pagerank_k3_sql(
-            pv_pred_sql="CASE WHEN id LIKE '%1%' THEN 1.0 ELSE 0.0 END"
-        ),
         "cc_iter5": _cc_iter5_sql(),
-        "triangle_count": """
+        "triangle_clustering": """
 WITH und AS (
   -- canonical string-ordered undirected edges (s1 < s2); orientation choice
   -- doesn't affect the COUNT (degree-ordering in the engine is physical)
@@ -2430,11 +2589,15 @@ WITH und AS (
     greatest('s' || a.l_suppkey, 's' || b.l_suppkey) AS s2
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM und ab JOIN und ac ON ab.s1 = ac.s1 AND ab.s2 < ac.s2
+  JOIN und bc ON bc.s1 = ab.s2 AND bc.s2 = ac.s2
 )
-SELECT COUNT(*)::BIGINT AS n_triangles
-FROM und ab JOIN und ac ON ab.s1 = ac.s1 AND ab.s2 < ac.s2
-JOIN und bc ON bc.s1 = ab.s2 AND bc.s2 = ac.s2
-""",
+SELECT c.id, c.coeff, (SELECT n_triangles FROM tri) AS n_triangles
+FROM ({CLUSTERING_COEFF_BODY}) c
+""".replace("{CLUSTERING_COEFF_BODY}", _clustering_coeff_sql()),
         "search_topk": """
 SELECT c_name AS id, ROUND(c_acctbal / 100000.0 + 1 * (0.03), 6) AS score
 FROM customer
@@ -2447,8 +2610,11 @@ WITH fps AS (SELECT doc_id, md5({NORM_TEXT_SQL}) AS fp FROM documents)
 SELECT fp, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
 FROM fps GROUP BY fp HAVING COUNT(*) >= 2
 """,
-        "text_profile": _text_profile_sql(),
-        "lang_histogram": _lang_histogram_sql(),
+        "text_profile_lang": f"""
+SELECT p.doc_id, p.n_tokens, p.n_bpe_tokens, p.punct_ratio, p.quality,
+       p.lang_pred, p.fp, h.n_docs AS lang_n_docs
+FROM ({_text_profile_sql()}) p JOIN ({_lang_histogram_sql()}) h USING (lang_pred)
+""",
         "ngram_jaccard": _ngram_jaccard_sql(0.2),
         "decontamination": DECONTAMINATION_SQL,
         "embedding_topk": """
@@ -2470,13 +2636,16 @@ SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY 1, 2
 """,
-        "embedding_near_dup": f"""
+        "embedding_near_dup_suite": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a, b, cosine FROM (
+SELECT 'exact' AS method, a, b, cosine FROM (
   SELECT x.vec_id AS a, y.vec_id AS b,
          ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
   FROM v x JOIN v y ON x.vec_id < y.vec_id
 ) WHERE cosine >= {NEAR_DUP_THRESHOLD}
+UNION ALL
+SELECT 'lsh' AS method, a, b, cosine
+FROM ({_embedding_near_dup_lsh_sql(NEAR_DUP_THRESHOLD)})
 """,
         "synonym_topk": _synonym_topk_sql(min_count=20, topn=3),
         # media_audio_profile: blob = 4 chained md5 digests (64 bytes = 32
@@ -2515,8 +2684,11 @@ SELECT doc_id,
 FROM z GROUP BY doc_id
 """,
         "quality_filter": _quality_filter_sql(0.5),
-        "repetition_profile": _repetition_profile_sql(),
-        "quality_filter_rep": _quality_filter_rep_sql(0.5, 0.3),
+        "repetition_quality": f"""
+SELECT r.*, (CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM ({_repetition_profile_sql()}) r
+LEFT JOIN (SELECT doc_id FROM ({_quality_filter_rep_sql(0.5, 0.3)})) k USING (doc_id)
+""",
         "dup_ngram_spans": _dup_ngram_spans_sql(n=8),
         "line_dedup": _line_dedup_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -2548,21 +2720,23 @@ ranked AS (
 )
 SELECT doc_id, term, tfidf, rnk::INT AS rnk FROM ranked WHERE rnk <= 5
 """,
-        "clustering_coeff": _clustering_coeff_sql(),
-        "hits_k3": _hits_k3_sql(),
         "kcore_iter4": _kcore_sql(4),
         "link_pred_topk": _link_pred_sql(50),
         "dedup_clusters": _dedup_clusters_sql(0.2),
         "events_sessions": _events_sessions_sql(30),
-        "docs_lang_sample": _docs_lang_sample_sql(),
-        "token_quantiles": _token_quantiles_sql(),
+        "docs_lang_sample_quantiles": f"""
+SELECT s.doc_id, s.lang_pred, q.p50_tokens, q.p90_tokens, q.n_docs AS lang_n_docs
+FROM ({_docs_lang_sample_sql()}) s JOIN ({_token_quantiles_sql()}) q USING (lang_pred)
+""",
         # round-5: the LSH/ANN candidate generators, md5/constant-
         # reformulated so the approximation MECHANISM is engine-exact
         "minhash_lsh": _minhash_lsh_sql(0.5),
         "simhash_near": _simhash_near_sql(3),
-        "embedding_lsh_topk": _embedding_lsh_topk_sql(k=5),
-        "embedding_ivf_topk": _embedding_ivf_topk_sql(k=5),
-        "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(NEAR_DUP_THRESHOLD),
+        "embedding_ann_topk": f"""
+SELECT 'lsh' AS method, vec_id, neighbor, cosine FROM ({_embedding_lsh_topk_sql(k=5)})
+UNION ALL
+SELECT 'ivf' AS method, vec_id, neighbor, cosine FROM ({_embedding_ivf_topk_sql(k=5)})
+""",
         **_code_oracles(),
     }
 
@@ -2582,10 +2756,17 @@ def _code_oracles() -> dict[str, str]:
     return {
         "code_extract_summary": _code_extract_summary_sql(fix),
         "code_pagerank_k3": _pagerank_k3_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
-        "code_pagerank_top50": pr_conv,
-        "code_pagerank_csr_top50": pr_conv,
-        "code_cc_iter5": _cc_iter5_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix)),
-        "code_cc_sizes": _cc_sizes_sql(_code_e_sql(fix), _code_v_sql(fix), cc_rounds),
+        # both physical strategies against ONE convergence-in-SQL oracle:
+        # the suite query joins relational and CSR ranks on id, so the
+        # oracle's converged rank stands in for both columns
+        "code_pagerank_conv_top50": f"""
+SELECT id, rank, rank AS rank_csr FROM ({pr_conv})
+""",
+        "code_cc": f"""
+SELECT a.id, a.component AS component_iter5, b.component, b.component_size
+FROM ({_cc_iter5_sql(e_sql=_code_e_sql(fix), v_sql=_code_v_sql(fix))}) a
+JOIN ({_cc_labels_sizes_sql(_code_e_sql(fix), _code_v_sql(fix), cc_rounds)}) b USING (id)
+""",
         "code_lpa_communities": _code_lpa_sql(fix, iterations=4),
         "code_lpa_prepared": _code_lpa_sql(fix, iterations=4),
         "code_triangles": _code_triangles_sql(fix),
@@ -2593,7 +2774,6 @@ def _code_oracles() -> dict[str, str]:
         "code_graph_profile": _code_mixing_profile_sql(fix),
         "code_bfs_depths": _code_bfs_sql(fix, rounds=8),
         "code_random_walks": _code_walks_sql(fix, steps=5),
-        "code_module_graph": _code_module_graph_sql(fix),
         "code_spam_mass": _spam_mass_k3_sql(
             _code_e_sql(fix), _code_v_sql(fix),
             f"id LIKE '{BFS_SEED_LIKE}'",
@@ -2601,12 +2781,22 @@ def _code_oracles() -> dict[str, str]:
         "code_bowtie": _code_bowtie_sql(fix, rounds=8),
         "code_neighbor_sample": _code_neighbor_sample_sql(fix),
         "code_ppr_topk": _code_ppr_sql(fix, alpha=ALPHA, iterations=3, k=10),
-        "code_scc": _code_scc_sql(fix),
-        "code_condensation": _code_condensation_sql(fix),
+        "code_scc_condensation": f"""
+SELECT 'scc' AS kind, id AS a, scc AS b, 0::BIGINT AS w FROM ({_code_scc_sql(fix)})
+UNION ALL
+SELECT 'edge' AS kind, src_scc AS a, dst_scc AS b, weight::BIGINT AS w
+FROM ({_code_condensation_sql(fix)})
+""",
         "code_dep_layers": _code_dep_layers_sql(fix),
-        "code_module_rank": _pagerank_k3_sql(
+        "code_module_rank_graph": f"""
+WITH mg AS ({_code_module_graph_sql(fix)}),
+pr AS ({_pagerank_k3_sql(
             e_sql=f"SELECT src_group AS src, dst_group AS dst, weight::DOUBLE AS wt "
                   f"FROM ({_code_module_graph_sql(fix)})",
             wt_sql="wt",
-        ),
+        )})
+SELECT mg.src_group, mg.dst_group, mg.weight,
+       pa.rank AS src_rank, pb.rank AS dst_rank
+FROM mg JOIN pr pa ON pa.id = mg.src_group JOIN pr pb ON pb.id = mg.dst_group
+""",
     }

@@ -156,6 +156,46 @@ def main() -> None:
 
         khop_neighborhood(edges, seeds, [10, 5]).count()
 
+    # --- round-4 graph extensions (regression tracking: a slowdown in any
+    # of these was invisible to BENCH diffs before round 5) ------------------
+    with timed("scc_repo0"):
+        from pagerank_project_spark.operators.scc import strongly_connected_components
+
+        sub_e = edges.filter(
+            F.col("src").like("org0/repo0:%") & F.col("dst").like("org0/repo0:%")
+        )
+        strongly_connected_components(spark, sub_e).labels.count()
+    with timed("spam_mass_k3"):
+        from pagerank_project_spark.operators.trust import spam_mass
+
+        spam_mass(
+            spark, edges,
+            trusted_expr=F.col("id").like("%:src/mod0/file0"),
+            vertices=verts,
+            cfg=PageRankConfig(mode="standard", epsilon=1e-300, max_iterations=3),
+        ).count()
+    with timed("bowtie_8r"):
+        from pagerank_project_spark.operators.traversal import bowtie_membership
+
+        bowtie_membership(spark, edges, seeds, max_iterations=8).count()
+    with timed("random_walks_5step"):
+        from pagerank_project_spark.operators.traversal import random_walks
+
+        random_walks(spark, edges, seeds, steps=5).count()
+    with timed("module_rank_k3"):
+        from pagerank_project_spark.operators.traversal import quotient_graph
+
+        mg = quotient_graph(edges, "regexp_replace({v}, '/[^/]+$', '')").select(
+            F.col("src_group").alias("src"),
+            F.col("dst_group").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        pagerank(
+            spark, mg,
+            cfg=PageRankConfig(mode="standard", epsilon=1e-300, max_iterations=3),
+            weight_col="weight",
+        ).ranks.count()
+
     # --- driver-table operator families ------------------------------------
     with timed("tpch_degree_distribution"):
         q_degree_distribution(spark, sf_dir).count()
