@@ -59,6 +59,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class SCCResult:
     labels: DataFrame  # (id: string, scc: string) — scc = min member id
     rounds: int
+    # scaling diagnostics (wall seconds per phase, cumulative over rounds,
+    # + superstep counts): trim / coloring / backward-BFS dominate in that
+    # order on DAG-ish graphs, coloring on deep-reachability graphs
+    phase_secs: dict | None = None
+    coloring_supersteps: int = 0
+    bfs_supersteps: int = 0
 
 
 def strongly_connected_components(
@@ -69,6 +75,7 @@ def strongly_connected_components(
     trim_passes: int = 3,
     max_propagation_iters: int | None = None,
     num_partitions: int | None = None,
+    verbose: bool = False,
 ) -> SCCResult:
     """Per-vertex SCC labels (scc = min member id, the CC convention).
 
@@ -141,12 +148,18 @@ def strongly_connected_components(
             assigned_parts.clear()
             assigned_parts.append(folded.localCheckpoint(eager=False))
 
+    import time as _time
+
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     rounds = 0
+    phase_secs = {"trim": 0.0, "coloring": 0.0, "backward": 0.0, "remove": 0.0}
+    coloring_supersteps = 0
+    bfs_supersteps = 0
     try:
         while n_active > 0:
             rounds += 1
+            _t_ph = _time.time()
             if rounds > max_rounds:
                 raise RuntimeError(
                     f"SCC did not settle within {max_rounds} outer rounds "
@@ -164,7 +177,10 @@ def strongly_connected_components(
                     .join(both.hint("shuffle_hash"), "id", "left_anti")
                     .localCheckpoint(eager=False)
                 )
-                if trimmed.count() == 0:
+                n_trim = trimmed.count()
+                if verbose:
+                    print(f"[scc] round {rounds} trim pass: trimmed={n_trim}", flush=True)
+                if n_trim == 0:
                     break
                 assigned_parts.append(trimmed.select("id", F.col("id").alias("scc")))
                 _fold_assigned()
@@ -186,12 +202,21 @@ def strongly_connected_components(
                     .localCheckpoint(eager=False)
                 )
                 n_active = active.count()
+            phase_secs["trim"] += _time.time() - _t_ph
             if n_active == 0:
                 break
+            _t_ph = _time.time()
 
-            # --- 2. forward coloring to fixpoint -------------------------
+            # --- 2. forward coloring to fixpoint, POINTER-JUMPED ----------
             # color(v) = min id that reaches v; endpoints of active edges
-            # only (vertices outside active are trim/isolated leftovers)
+            # only (vertices outside active are trim/isolated leftovers).
+            # Each superstep does BOTH the edge-push min AND a pointer
+            # jump color(v) ← min(color(v), color(color(v))) — valid
+            # because reachability composes through the pointer (color(v)
+            # reaches v, color(color(v)) reaches color(v)), monotone, and
+            # it collapses the fixpoint from O(reachability depth) to
+            # O(log depth) supersteps (the CC pointer-jumping lesson —
+            # a depth-10⁶ chain needs ~20 rounds, not 10⁶).
             in_active = (
                 active.select(F.col("src").alias("id"))
                 .unionByName(active.select(F.col("dst").alias("id")))
@@ -213,10 +238,24 @@ def strongly_connected_components(
                     )
                     .select(F.col("dst").alias("id"), "color")
                 )
-                new_color = (
+                stepped = (
                     color.unionByName(pushed)
                     .groupBy("id")
                     .agg(F.min("color").alias("color"))
+                    .localCheckpoint(eager=False)
+                )
+                # pointer jump: every color value IS an in_active id, so the
+                # inner self-join is total on the jumped side
+                jumped = (
+                    stepped.select("id", F.col("color").alias("_p"))
+                    .join(
+                        stepped.select(F.col("id").alias("_p"), F.col("color").alias("_pc")).hint("shuffle_hash"),
+                        "_p",
+                    )
+                    .select("id", F.least("_p", "_pc").alias("color"))
+                )
+                new_color = (
+                    jumped.groupBy("id").agg(F.min("color").alias("color"))
                     .localCheckpoint(eager=False)
                 )
                 n_changed = (
@@ -229,38 +268,78 @@ def strongly_connected_components(
                 color = new_color
                 if n_changed == 0:
                     break
+            coloring_supersteps += prop_iters
+            phase_secs["coloring"] += _time.time() - _t_ph
+            _t_ph = _time.time()
 
-            # --- 3+4. backward BFS from roots within color classes -------
-            # dst-partitioned reversed copy: the backward joins key on dst,
-            # and re-using the src-partitioned cache would re-Exchange all
-            # active edges EVERY BFS superstep — pay the repartition once
-            # per round instead
-            active_rev = active.repartition(nparts, "dst").persist()
-            active_rev.count()
-            roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
-            settled = roots.localCheckpoint(eager=False)
-            frontier = settled
-            while True:
-                # u joins the SCC frontier when u→f for a frontier f and
-                # color(u) = color(f) (reachability stays inside the class)
-                step = (
-                    active_rev.join(
-                        frontier.select(F.col("id").alias("dst"), "color").hint("shuffle_hash"),
-                        "dst",
-                    )
-                    .select(F.col("src").alias("id"), "color")
-                    .join(color.withColumnRenamed("color", "_c").hint("shuffle_hash"), "id")
-                    .filter(F.col("color") == F.col("_c"))
-                    .select("id", "color")
-                    .distinct()
+            # --- 3+4. backward phase, also pointer-jumped -----------------
+            # Within color class c (root r = c = min id of the class),
+            # v ∈ SCC(c) iff v reaches c over edges whose BOTH endpoints
+            # have color c. m(v) = min id reachable FROM v within the
+            # class satisfies m(v) ≥ c with equality iff v reaches c, so
+            # the old frontier BFS (O(SCC diameter) supersteps) becomes
+            # the same doubled min-propagation, pulled along forward edges
+            # (values flow dst→src) with the m(v) ← min(m(v), m(m(v)))
+            # jump — O(log diameter) supersteps.
+            ge = (
+                active.join(
+                    color.select(F.col("id").alias("src"), F.col("color").alias("_sc")).hint("shuffle_hash"),
+                    "src",
                 )
-                frontier = step.join(
-                    settled.select("id").hint("shuffle_hash"), "id", "left_anti"
-                ).localCheckpoint(eager=False)
-                if frontier.count() == 0:
+                .join(
+                    color.select(F.col("id").alias("dst"), F.col("color").alias("_dc")).hint("shuffle_hash"),
+                    "dst",
+                )
+                .filter(F.col("_sc") == F.col("_dc"))
+                .select("src", "dst")
+                .repartition(nparts, "dst")
+                .persist()
+            )
+            active_rev = ge  # tracked for the finally-block unpersist
+            ge.count()
+            m = color.select("id", F.col("id").alias("m"))
+            m = m.repartition(nparts, "id").localCheckpoint(eager=False)
+            while True:
+                bfs_supersteps += 1
+                pulled = (
+                    ge.join(
+                        m.select(F.col("id").alias("dst"), "m").hint("shuffle_hash"), "dst"
+                    )
+                    .select(F.col("src").alias("id"), "m")
+                )
+                stepped = (
+                    m.unionByName(pulled)
+                    .groupBy("id")
+                    .agg(F.min("m").alias("m"))
+                    .localCheckpoint(eager=False)
+                )
+                jumped = (
+                    stepped.select("id", F.col("m").alias("_p"))
+                    .join(
+                        stepped.select(F.col("id").alias("_p"), F.col("m").alias("_pm")).hint("shuffle_hash"),
+                        "_p",
+                    )
+                    .select("id", F.least("_p", "_pm").alias("m"))
+                )
+                new_m = jumped.groupBy("id").agg(F.min("m").alias("m")).localCheckpoint(eager=False)
+                n_changed = (
+                    new_m.join(m.withColumnRenamed("m", "_old").hint("shuffle_hash"), "id")
+                    .filter(F.col("m") != F.col("_old"))
+                    .count()
+                )
+                m = new_m
+                if n_changed == 0:
                     break
-                settled = settled.unionByName(frontier).localCheckpoint(eager=False)
-            active_rev.unpersist()
+            settled = (
+                m.join(color.hint("shuffle_hash"), "id")
+                .filter(F.col("m") == F.col("color"))
+                .select("id", "color")
+                .localCheckpoint(eager=False)
+            )
+            ge.unpersist()
+            active_rev = None
+            phase_secs["backward"] += _time.time() - _t_ph
+            _t_ph = _time.time()
 
             assigned_parts.append(settled.select("id", F.col("color").alias("scc")))
             _fold_assigned()
@@ -282,6 +361,14 @@ def strongly_connected_components(
                 .localCheckpoint(eager=False)
             )
             n_active = active.count()
+            phase_secs["remove"] += _time.time() - _t_ph
+            if verbose:
+                print(
+                    f"[scc] round {rounds}: active={n_active} "
+                    f"coloring_ss={coloring_supersteps} bfs_ss={bfs_supersteps} "
+                    f"phases={ {k: round(v, 1) for k, v in phase_secs.items()} }",
+                    flush=True,
+                )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         active0.unpersist()
@@ -302,7 +389,13 @@ def strongly_connected_components(
         )
         rep = dec.groupBy("_g").agg(F.min("id").alias("scc"))
         labels = dec.join(rep.hint("shuffle_hash"), "_g").select("id", "scc")
-    return SCCResult(labels=labels, rounds=rounds)
+    return SCCResult(
+        labels=labels,
+        rounds=rounds,
+        phase_secs={k: round(v, 3) for k, v in phase_secs.items()},
+        coloring_supersteps=coloring_supersteps,
+        bfs_supersteps=bfs_supersteps,
+    )
 
 
 def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:

@@ -70,11 +70,12 @@ fix = ensure_fixture(sf)
 # pinned by pytest + the code_extract_summary oracle; the scaling metric
 # starts at the edge table, as the north_rule's superstep throughput does)
 edges = spark.read.parquet(f"{fix}/intended_edges").select("src", "dst")
-if op != "cc":
+if op not in ("cc", "scc"):
     # the iterative PR/LPA loops re-read edges every superstep — persist.
-    # CC reads them exactly ONCE (the canonical distinct): persisting would
-    # only occupy executor heap (measured: evicts the canon cache at 1x4);
-    # parquet row-group splits parallelize the single scan.
+    # CC/SCC read them exactly ONCE (into their own persisted canonical /
+    # active sets): persisting would only occupy executor heap (measured:
+    # evicts the canon cache at 1x4); parquet row-group splits parallelize
+    # the single scan.
     edges = edges.repartition(tot).persist()
 n_edges = edges.count()
 files = spark.read.parquet(f"{fix}/source_table/data")
@@ -194,19 +195,27 @@ elif op == "cc":
                 "phase_secs": res.phase_secs, "decode_count_sec": decode_sec,
                 "whole_run_eps": round(n_edges * res.iterations / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
-elif op == "lpa_prepared":
+elif op in ("lpa_prepared", "lpa_prepared_slots"):
     # "prepare once, query many" applied to LPA: the 12-superstep
     # production-length run from the baked undirected artifact — the
     # one-time tails (validate/encode/symmetrize/cache repartition) that
     # cap the direct whole-run number are paid at prepare time, shared by
     # every query; the querying session persists the bucketed table with
     # zero shuffle and starts superstepping. Labels bitwise = direct.
+    #
+    # lpa_prepared       = 64-bucket artifact, repartitioned to the leg's
+    #                      task slots at load (one shuffle).
+    # lpa_prepared_slots = artifact BUCKETED AT THE LEG'S TASK SLOTS
+    #                      (bucket count chosen for the target cluster —
+    #                      the standard bucketing deployment rule): the
+    #                      persist is a zero-exchange straight read AND
+    #                      the loop is slots-matched.
     import os as _os
     from pagerank_project_spark.operators.labelprop import label_propagation
     from pagerank_project_spark.plans.prepared_graph import (
         load_prepared_undirected, prepare_undirected,
     )
-    nb = prep_buckets or 64
+    nb = prep_buckets or (tot if op == "lpa_prepared_slots" else 64)
     pdir = f"{fix}/prepared_und_{nb}b"
     prep_sec = None
     if not _os.path.exists(f"{pdir}/manifest.json"):
@@ -216,13 +225,8 @@ elif op == "lpa_prepared":
     pg = load_prepared_undirected(spark, pdir)
     lpa_iters = 12
     t0 = time.time()
-    # deployment rule: repartition the 64-bucket table to the leg's task
-    # slots at load (one shuffle) — the zero-exchange fixed-64-task loop
-    # measured 0.55 N→4N (scaling.json lpa_prepared64_*): per-task
-    # overhead is constant while the compute term scales, the same ratio
-    # artifact the prepared-PageRank A/B root-caused
     res = label_propagation(spark, iterations=lpa_iters, prepared_und=pg,
-                            num_partitions=tot)
+                            num_partitions=(tot if op == "lpa_prepared" else None))
     t_dec = time.time()
     res.labels.select(F.count("*")).collect()
     decode_sec = round(time.time() - t_dec, 2)
@@ -256,6 +260,25 @@ elif op in ("lpa", "lpa_hash", "lpa_prod"):
                 "sec_per_iter": med, "phase_secs": res.phase_secs, "decode_sec": decode_sec,
                 "whole_run_eps": round(n_edges * lpa_iters / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
+elif op == "scc":
+    # SCC whole run (FW-Trim coloring) + min-scc decode count. The code
+    # graph's reachability depth sets the coloring-superstep count —
+    # recorded per phase so the N-vs-4N ratio can be attributed (trim and
+    # remove are groupBy/anti-join shapes; coloring and backward-BFS are
+    # the join+min-agg superstep shape the PR/LPA rows already profile).
+    from pagerank_project_spark.operators.scc import strongly_connected_components
+    res = strongly_connected_components(spark, edges, max_rounds=40)
+    t_dec = time.time()
+    n_scc = res.labels.select("scc").distinct().count()
+    decode_sec = round(time.time() - t_dec, 2)
+    dt = time.time() - t0
+    out.update({"rounds": res.rounds, "coloring_supersteps": res.coloring_supersteps,
+                "bfs_supersteps": res.bfs_supersteps, "n_sccs": n_scc,
+                "wall_sec": round(dt, 2), "phase_secs": res.phase_secs,
+                "decode_count_sec": decode_sec,
+                # rounds-normalized whole-run rate (the CC convention —
+                # a nominal normalization for the leg-to-leg ratio only)
+                "whole_run_eps": round(n_edges * max(res.rounds, 1) / dt, 1)})
 elif op in ("ppr", "ppr_dense"):
     # batched multi-seed personalized PageRank: a deterministic ~2k-seed
     # md5 sample of the vertex set (same seeds on both legs by
