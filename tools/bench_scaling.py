@@ -343,6 +343,8 @@ OP_LABEL = {
     "cc": "Connected components (star contraction, to convergence)",
     "lpa": "Label propagation (4 sync iterations)",
     "lpa_prod": "Label propagation (12 sync iterations, production-length)",
+    "lpa_prepared_slots": "Label propagation from PREPARED undirected graph (slots-bucketed, 12 supersteps)",
+    "scc": "SCC (FW-Trim coloring + pointer-jumped propagation, whole run)",
 }
 
 
@@ -578,6 +580,54 @@ filtered path ran 7-9 s/superstep vs 1.1 s full — two cache streams
 plus the state carry outweigh the skipped gather — so it ships default
 OFF, scoped to run-to-convergence jobs where its provably-identity
 fixpoint EARLY STOP (not the filter) is the win.
+
+PREPARED UNDIRECTED LPA (round 5 — rows lpa_prepared64_* /
+lpa_prepared_* / lpa_prepared_slots_* in scaling.json; 12 supersteps,
+sf16, prepare-once cost reported separately as prepare_once_sec). The
+round-4 snapshot left the lpa_prepared_* cells unanalyzed and they
+looked broken: 795 s at 4×4, 2× WORSE than the 384 s unprepared
+lpa_prod_4 run the artifact exists to beat. The controlled three-cell A/B
+run for the directed prepared graph was repeated for LPA and pins it:
+(1) 64-BUCKET, ZERO-EXCHANGE (lpa_prepared64): 73.6/26.3 s/iter,
+whole-run eff 0.55 — the fixed-64-task ratio artifact (constant
+per-task overhead on both legs while compute scales) plus 4-wave
+scheduling on 16 slots.
+(2) 64-BUCKET + REPARTITION-AT-LOAD (lpa_prepared, the round-4 cell):
+69.0/34.1 s/iter — repartitioning to the leg's slots restores the task
+count (the prepared-PageRank cure) but `repartition(slots, "src")`
+DESTROYS the artifact's per-bucket src-SORT, and LPA — unlike the
+3-superstep PageRank probe — streams the persisted symmetric cache 12
+times, so the cache's in-memory-columnar compressibility (the measured
+round-4 hash-vid lesson: sorted, delta-compressible vids scan ~20%
+faster) dominates: the repartitioned cache is SLOWER per-iter than the
+4-wave zero-exchange one at 4×4 (34.1 vs 26.3 s) and slower than
+everything end-to-end. PageRank tolerated the same repartition because
+its loop re-sorts edges once at setup; LPA's prepared path deliberately
+skips that re-sort (it is exactly the tail the artifact pre-pays).
+(3) SLOTS-BUCKETED ARTIFACT (lpa_prepared_slots — the shipped
+deployment rule for LPA: bucket the undirected artifact at the target
+cluster's task slots): zero-exchange load AND slots-matched loop AND
+per-bucket sort preserved — 46.9/13.9 s/iter, steady-state eff 0.845
+(ABOVE the 0.8 target, and 1.18/1.20× the unprepared loop's own
+per-superstep speed at the two legs). Whole-run, the query session is
+709/238 s vs unprepared 1189/384 s — prepared now strictly beats
+unprepared end-to-end at BOTH legs (1.66×/1.58×), and the prepare-once
+cost (395/116 s) pays for itself within a SINGLE query run at both
+legs (vs 471/140 s saved per run). Whole-run scaling of the query
+session is 0.745; the gap to the 0.845 steady-state is fully accounted
+by two already-root-caused one-box terms: superstep 1 carries the
+parallelism-invariant codegen/JIT warmup (104.5 vs 48.8 s, 2.1× — a
+fixed ~30 s on both legs), and the late label-stable supersteps
+degenerate to streaming the 131M-row symmetric cache over the shared
+DRAM bus (3.2×, the same memory-bandwidth ceiling measured for
+unprepared LPA above — a real 4-node cluster brings 4× the aggregate
+bandwidth). The early churn-heavy supersteps scale at 0.81-1.0 eff
+(iter 2: 89.4→27.4 s; iter 3: 79.4→19.9 s). Where the 64-bucket
+PageRank rule was "size buckets for the largest target cluster", LPA's
+measured rule is stricter — slots-matched buckets, because the
+12-superstep cache stream makes both the wave arithmetic AND the
+layout-compressibility penalty recur per superstep instead of
+amortizing.
 
 BATCHED PPR (round 4 — diagnostic cells, NOT a headline ledger row: PPR
 is an engine extension, and at sf16 the right-sized problem for it no
