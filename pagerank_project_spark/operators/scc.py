@@ -76,6 +76,7 @@ def strongly_connected_components(
     max_propagation_iters: int | None = None,
     num_partitions: int | None = None,
     verbose: bool = False,
+    substeps_per_sync: int = 4,
 ) -> SCCResult:
     """Per-vertex SCC labels (scc = min member id, the CC convention).
 
@@ -86,6 +87,17 @@ def strongly_connected_components(
     depth of the active subgraph; a 60-cycle legitimately needs ~60
     supersteps); set it to bound wall-clock on unknown inputs, accepting
     a raise instead of an over-deep loop.
+
+    ``substeps_per_sync``: propagation sub-steps chained lazily into each
+    materialized/convergence-checked superstep job. The two fixpoints are
+    reachability-DEPTH-bound (the pointer jump composes through the ~ln n
+    successive record minima, then the tail crawls one edge-hop per
+    sub-step along deep chains), so on web-shaped graphs the loop runs
+    hundreds of sub-steps whose per-step cost is dominated by the
+    convergence-check join and job/stage scheduling — batching k sub-steps
+    per sync pays both once per k. Colors only decrease (monotone), so
+    "no change across a whole batch" is exactly the single-step fixpoint;
+    the only cost is up to k−1 redundant tail sub-steps.
     """
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
@@ -133,6 +145,10 @@ def strongly_connected_components(
     unassigned = enc_verts.repartition(nparts, "id").localCheckpoint(eager=False)
     assigned_parts: list[DataFrame] = []
     active_rev = None
+    # per-superstep iterate caches (stats-reset pattern, see coloring loop);
+    # swept at each round end and in the finally block — unpersist is
+    # idempotent so double entries are harmless
+    live_caches: list[DataFrame] = []
 
     def _fold_assigned() -> None:
         # keep the final union plan bounded: a deep input (high max_rounds,
@@ -225,21 +241,29 @@ def strongly_connected_components(
             color = in_active.select("id", F.col("id").alias("color"))
             color = color.repartition(nparts, "id").localCheckpoint(eager=False)
             prop_iters = 0
-            while True:
-                prop_iters += 1
-                if max_propagation_iters is not None and prop_iters > max_propagation_iters:
-                    raise RuntimeError(
-                        f"forward coloring exceeded the max_propagation_iters={max_propagation_iters} cost cap"
-                    )
+            # Spark 4's Dataset.localCheckpoint carries the origin plan's
+            # ESTIMATED stats onto the LogicalRDD (rewriteStatsAndConstraints),
+            # and the size-only visitor multiplies child sizes at every join —
+            # so a checkpointed SELF-join chain SQUARES the carried sizeInBytes
+            # each superstep (bit-length doubles; measured 11→609 bits in 6
+            # steps). Past ~20 supersteps the driver burns minutes multiplying
+            # million-digit BigIntegers inside every stats/planning call. Fix:
+            # persist each iterate and let the (already-present) n_changed
+            # count materialize it BEFORE checkpointing — a materialized
+            # InMemoryRelation reports its REAL accumulated size, so the
+            # checkpoint carries small true stats and the chain stays flat.
+            # Zero extra jobs; the previous iterate's cache is dropped as soon
+            # as its checkpoint has materialized (the next count).
+            def _color_substep(cur: DataFrame) -> DataFrame:
                 pushed = (
                     active.join(
-                        color.select(F.col("id").alias("src"), "color").hint("shuffle_hash"),
+                        cur.select(F.col("id").alias("src"), "color").hint("shuffle_hash"),
                         "src",
                     )
                     .select(F.col("dst").alias("id"), "color")
                 )
                 stepped = (
-                    color.unionByName(pushed)
+                    cur.unionByName(pushed)
                     .groupBy("id")
                     .agg(F.min("color").alias("color"))
                     .localCheckpoint(eager=False)
@@ -254,10 +278,23 @@ def strongly_connected_components(
                     )
                     .select("id", F.least("_p", "_pc").alias("color"))
                 )
-                new_color = (
-                    jumped.groupBy("id").agg(F.min("color").alias("color"))
-                    .localCheckpoint(eager=False)
-                )
+                return jumped.groupBy("id").agg(F.min("color").alias("color"))
+
+            prev_cache = None
+            while True:
+                batch = max(1, substeps_per_sync)
+                if max_propagation_iters is not None:
+                    left = max_propagation_iters - prop_iters
+                    if left <= 0:
+                        raise RuntimeError(
+                            f"forward coloring exceeded the max_propagation_iters={max_propagation_iters} cost cap"
+                        )
+                    batch = min(batch, left)
+                nxt = color
+                for _ in range(batch):
+                    nxt = _color_substep(nxt)
+                prop_iters += batch
+                new_color = nxt.persist()
                 n_changed = (
                     new_color.join(
                         color.withColumnRenamed("color", "_old").hint("shuffle_hash"), "id"
@@ -265,7 +302,14 @@ def strongly_connected_components(
                     .filter(F.col("color") != F.col("_old"))
                     .count()
                 )
-                color = new_color
+                color = new_color.localCheckpoint(eager=False)
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = new_color
+                live_caches.append(new_color)
+                if verbose and prop_iters % 20 < batch:
+                    print(f"[scc] round {rounds} coloring sub-step {prop_iters}: "
+                          f"changed_in_batch={n_changed}", flush=True)
                 if n_changed == 0:
                     break
             coloring_supersteps += prop_iters
@@ -299,16 +343,18 @@ def strongly_connected_components(
             ge.count()
             m = color.select("id", F.col("id").alias("m"))
             m = m.repartition(nparts, "id").localCheckpoint(eager=False)
-            while True:
-                bfs_supersteps += 1
+            # same persist-before-checkpoint stats reset and sub-step
+            # batching as the coloring loop (the m(m(v)) jump is a
+            # self-join too, and the fixpoint is depth-bound the same way)
+            def _m_substep(cur: DataFrame) -> DataFrame:
                 pulled = (
                     ge.join(
-                        m.select(F.col("id").alias("dst"), "m").hint("shuffle_hash"), "dst"
+                        cur.select(F.col("id").alias("dst"), "m").hint("shuffle_hash"), "dst"
                     )
                     .select(F.col("src").alias("id"), "m")
                 )
                 stepped = (
-                    m.unionByName(pulled)
+                    cur.unionByName(pulled)
                     .groupBy("id")
                     .agg(F.min("m").alias("m"))
                     .localCheckpoint(eager=False)
@@ -321,13 +367,26 @@ def strongly_connected_components(
                     )
                     .select("id", F.least("_p", "_pm").alias("m"))
                 )
-                new_m = jumped.groupBy("id").agg(F.min("m").alias("m")).localCheckpoint(eager=False)
+                return jumped.groupBy("id").agg(F.min("m").alias("m"))
+
+            prev_cache = None
+            while True:
+                batch = max(1, substeps_per_sync)
+                nxt = m
+                for _ in range(batch):
+                    nxt = _m_substep(nxt)
+                bfs_supersteps += batch
+                new_m = nxt.persist()
                 n_changed = (
                     new_m.join(m.withColumnRenamed("m", "_old").hint("shuffle_hash"), "id")
                     .filter(F.col("m") != F.col("_old"))
                     .count()
                 )
-                m = new_m
+                m = new_m.localCheckpoint(eager=False)
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = new_m
+                live_caches.append(new_m)
                 if n_changed == 0:
                     break
             settled = (
@@ -361,6 +420,12 @@ def strongly_connected_components(
                 .localCheckpoint(eager=False)
             )
             n_active = active.count()
+            # the count above materialized every checkpoint that read this
+            # round's iterate caches — drop the leftovers (the last iterate
+            # of each fixpoint loop; earlier ones were dropped in-loop)
+            for c in live_caches:
+                c.unpersist()
+            live_caches.clear()
             phase_secs["remove"] += _time.time() - _t_ph
             if verbose:
                 print(
@@ -374,6 +439,9 @@ def strongly_connected_components(
         active0.unpersist()
         if active_rev is not None:
             active_rev.unpersist()
+        for c in live_caches:
+            c.unpersist()
+        live_caches.clear()
 
     # leftovers (isolated all along, or stranded by removals) are singletons
     labels = unassigned.select("id", F.col("id").alias("scc"))

@@ -344,7 +344,6 @@ OP_LABEL = {
     "lpa": "Label propagation (4 sync iterations)",
     "lpa_prod": "Label propagation (12 sync iterations, production-length)",
     "lpa_prepared_slots": "Label propagation from PREPARED undirected graph (slots-bucketed, 12 supersteps)",
-    "scc": "SCC (FW-Trim coloring + pointer-jumped propagation, whole run)",
 }
 
 
