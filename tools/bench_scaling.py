@@ -385,7 +385,14 @@ def main():
                 cc_pin=args.cc_pin, prepared_buckets=args.prepared_buckets,
             )
             r = scale[(op, nexec)]
-            print(f"{op} {nexec}x4 executors: {r['edges_per_sec_per_superstep']:,.0f} edges/s/superstep, "
+            # checkpoint the merged rows after EVERY leg: a leg is tens of
+            # minutes of wall, and a crash anywhere later in main() (e.g. a
+            # KeyError in a report f-string) must not lose measured data
+            with open("/root/repo/BENCH/scaling.json", "w") as f:
+                json.dump({f"{k[0]}_{k[1]}": v for k, v in scale.items()}, f, indent=2)
+            rate = r.get("edges_per_sec_per_superstep", r.get("whole_run_eps", 0.0))
+            print(f"{op} {nexec}x4 executors: {rate:,.0f} edges/s"
+                  f"{'/superstep' if 'edges_per_sec_per_superstep' in r else ' whole-run'}, "
                   f"wall {r['wall_sec']}s ({time.time() - t0:.0f}s total)", flush=True)
     all_ops = [op for op in OP_LABEL if (op, 1) in scale and (op, 4) in scale]
 
@@ -437,6 +444,25 @@ def main():
         f"{scale[('cc', 4)]['wall_sec']}s @4×4."
         if "cc" in all_ops else ""
     )
+
+    scc_note = ""
+    if ("scc", 1) in scale and ("scc", 4) in scale:
+        a, b = scale[("scc", 1)], scale[("scc", 4)]
+        scc_note = (
+            f"SCC whole run (sf={a['sf']:g}, {a['n_edges']:,} edges): wall "
+            f"{a['wall_sec']}s @1×4 → {b['wall_sec']}s @4×4, whole-run eff "
+            f"{a['wall_sec'] / (4 * b['wall_sec']):.2f}; {a['rounds']} rounds, "
+            f"{a['coloring_supersteps']} coloring + {a['bfs_supersteps']} backward "
+            f"sub-steps ({a['n_sccs']:,} SCCs, identical counts and sub-step "
+            f"schedule on both legs; per-phase walls in scaling.json scc_*). "
+            f"The sub-step COUNT is a parallelism-invariant property of the "
+            f"input (reachability depth), so whole-run scaling is governed "
+            f"entirely by per-sub-step scaling — the push join + min-agg is "
+            f"the same superstep shape whose throughput scaling the "
+            f"PageRank/LPA headline rows evidence; at this sf the 4×4 "
+            f"sub-step sits near the scheduling floor (the PPR regime), "
+            f"which bounds the ratio below the throughput rows."
+        )
 
     bench_md = ""
     if bench:
@@ -491,6 +517,7 @@ full input size — is the meaningful CC number.
 
 {pr_iter}
 {cc_note}
+{scc_note}
 {bench_md}
 ## Reference comparison
 
@@ -627,6 +654,41 @@ measured rule is stricter — slots-matched buckets, because the
 12-superstep cache stream makes both the wave arithmetic AND the
 layout-compressibility penalty recur per superstep instead of
 amortizing.
+
+SCC (round 5 — rows scc_* in scaling.json; FW-Trim coloring with
+pointer-jumped forward and backward fixpoints). Two findings:
+(a) SPARK-4 CHECKPOINT-STATS BLOWUP, found and fixed: Spark 4's
+Dataset.localCheckpoint carries the origin plan's ESTIMATED statistics
+onto the LogicalRDD, and the size-only estimator multiplies child sizes
+at every inner join — so a checkpointed SELF-join chain (the pointer
+jump) SQUARES the carried sizeInBytes every superstep. The bit-length
+doubles per superstep (measured 11→609 bits in 6 steps with a probe);
+past ~20 supersteps every stats/planning call multiplies million-digit
+BigIntegers and the driver burns MINUTES per superstep inside
+BigInteger.multiplyToomCook3 (caught by jstack, 600+ s on one thread) —
+a deep-graph SCC run looked hung while executors idled. The fix
+(operators/scc.py): persist each iterate and let the already-present
+convergence count materialize it BEFORE checkpointing — a materialized
+InMemoryRelation reports its REAL accumulated size, so the carried
+stats stay flat; zero extra jobs, iterate caches dropped as soon as
+their checkpoint materializes. This failure mode is generic to any
+iterative self-join on Spark 4 (PageRank/LPA/CC escape it because their
+per-superstep joins multiply the iterate by a CONSTANT-stats cached
+edge table — linear bit growth — not by itself).
+(b) THE FIXPOINTS ARE REACHABILITY-DEPTH-BOUND, and the pointer jump
+only compresses the easy phase: the jump composes reach through the
+chain of successive record minima, which is ~ln n links long on random
+vid orderings, after which the tail crawls one edge-hop per sub-step
+along the graph's deep chains (sf1 gauge: mass convergence by sub-step
+~60, then ~100 vertices/sub-step changing until ~200). Sub-steps are
+therefore batched: substeps_per_sync=4 propagation steps chain lazily
+into each materialized, convergence-checked job, paying the
+convergence-check join and the job/stage floor once per batch (colors
+only decrease, so no-change-across-a-batch IS the one-step fixpoint;
+cost is ≤3 redundant tail sub-steps). A true sub-step-count cure would
+be path contraction of in/out-degree-1 chains (pointer doubling on the
+successor function) — noted as the next scale lever, not built this
+round.
 
 BATCHED PPR (round 4 — diagnostic cells, NOT a headline ledger row: PPR
 is an engine extension, and at sf16 the right-sized problem for it no
