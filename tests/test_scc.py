@@ -57,6 +57,29 @@ def test_scc_path_needs_trim_not_rounds(spark):
     assert res.rounds <= 5
 
 
+def test_scc_deep_path_folds_parts(spark):
+    """A 48-vertex path is eaten 2 endpoints per trim pass, appending one
+    part per pass — assigned_parts crosses the fold-every-8 threshold in
+    _fold_assigned several times before the final union. Guards two
+    deep-input regressions at once: the folded union must keep the final
+    plan's analysis bounded (a linear 20+-branch unionByName chain pays
+    quadratic analysis), and the folded labels must be identical to the
+    unfolded semantics (networkx)."""
+    import time as _time
+
+    edges = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(47)]
+    t0 = _time.time()
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = strongly_connected_components(spark, e, max_rounds=50)
+    got = {r.id: r.scc for r in res.labels.collect()}
+    wall = _time.time() - t0
+    assert got == _nx_labels(edges)
+    assert res.rounds <= 25
+    # bounded end-to-end: pre-fold, deep runs paid quadratic plan analysis
+    # (and pre-stats-fix they stalled for minutes per superstep)
+    assert wall < 420, f"deep-path SCC took {wall:.0f}s — analysis blowup?"
+
+
 def test_scc_isolated_vertices_are_singletons(spark):
     edges = [("a", "b"), ("b", "a")]
     got, _ = _run(spark, edges, extra_vertices=["iso1", "iso2"])
