@@ -68,6 +68,7 @@ def label_propagation(
     frontier: bool = False,
     frontier_threshold: float = 0.0,
     prepared_und=None,
+    warm_start: bool = False,
 ) -> LPAResult:
     """``prepared_und``: a plans.prepared_graph.PreparedUndirected — the
     prepare-once artifact holding the STRING-SORTED vid map and the baked
@@ -135,7 +136,25 @@ def label_propagation(
     changes) — the filtered gather never engages unless the caller opts
     in with a positive threshold, because the measured sync-LPA churn
     stall (~2%) sits exactly in the regime an 0.05 default would engage
-    the 7-9x-slower filtered path."""
+    the 7-9x-slower filtered path.
+
+    ``warm_start``: before superstep 1, execute ONE pilot superstep of
+    the exact loop plan shape (cache scan → shuffle_hash join → union →
+    map-side-combined groupBy → WindowGroupLimit → localCheckpoint) over
+    a 1%-sampled edge slice and discard the result, and eagerly
+    materialize the initial label checkpoint. Superstep 1 otherwise
+    carries a parallelism-INVARIANT session tail — whole-stage-codegen
+    compilation, C2 JIT of the shuffle/cache-decode/window machinery,
+    shuffle-service and connection setup — measured at sf16 as ~27-35 s
+    on BOTH a 1x4 and a 4x4 local-cluster leg (BENCH/BASELINE.md round 5:
+    iter-1 scaled 2.1x while the equally churn-heavy iters 2-3 scaled
+    3.3-4.0x). The pilot buys that tail at ~1% of the volume (the cache
+    scan itself runs full-length but at memory speed), so production
+    superstep 1 starts JIT-warm. Labels are BITWISE unaffected — the
+    pilot's output is discarded and its sampled state is disjoint from
+    the loop's (pytest-pinned). Default off: short fixed-k runs at small
+    scale (the oracle/driver-contract shape) don't amortize the pilot;
+    recommended for production-length runs on large caches."""
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
 
@@ -170,7 +189,7 @@ def label_propagation(
         phases["cache_fill"] = round(_time.time() - t_ph, 3)
         return _run_loop(
             spark, und, vmap, nparts, iterations, checkpoint_store, frontier,
-            frontier_threshold, phases,
+            frontier_threshold, phases, warm_start,
         )
 
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -222,8 +241,37 @@ def label_propagation(
     phases["cache_fill"] = round(_time.time() - t_ph, 3)
     return _run_loop(
         spark, und, vmap, nparts, iterations, checkpoint_store, frontier,
-        frontier_threshold, phases,
+        frontier_threshold, phases, warm_start,
     )
+
+
+def _pilot_superstep(und: DataFrame, vmap: DataFrame, nparts: int) -> None:
+    """warm_start pilot: one throwaway superstep of the exact loop plan
+    shape over a 1%-sampled slice (see label_propagation docstring). The
+    result is discarded; nothing here feeds the loop."""
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
+    labels = (
+        vmap.select("vid", F.col("vid").alias("lbl"))
+        .sample(fraction=0.01, seed=7)
+        .repartition(nparts, "vid")
+        .localCheckpoint(eager=False)
+    )
+    sund = und.sample(fraction=0.01, seed=7)
+    nbr = (
+        sund.join(
+            labels.select(F.col("vid").alias("_sv"), "lbl").hint("shuffle_hash"),
+            sund.src == F.col("_sv"),
+        )
+        .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
+    )
+    keeper = labels.select("vid", "lbl", F.lit(0).alias("c"))
+    freq = nbr.unionByName(keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
+    winner = (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "lbl")
+    )
+    winner.localCheckpoint(eager=False).count()
 
 
 def _run_loop(
@@ -236,6 +284,7 @@ def _run_loop(
     frontier: bool,
     frontier_threshold: float,
     phases: dict,
+    warm_start: bool = False,
 ) -> LPAResult:
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
@@ -262,6 +311,11 @@ def _run_loop(
     try:
         import time
 
+        if warm_start:
+            t_ws = time.time()
+            _pilot_superstep(und, vmap, nparts)
+            labels.count()  # materialize the initial checkpoint pre-superstep-1
+            phases["warm_start"] = round(time.time() - t_ws, 3)
         w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
         for it in range(start_iter + 1, iterations + 1):
             t_it = time.time()

@@ -146,3 +146,50 @@ def test_ivf_det_centroids_recall_floor(spark):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_lpa_warm_start_bitwise_equal_and_phased(spark):
+    # the pilot superstep is discarded work: labels must be bitwise the
+    # default path's on both the direct and the prepared entrypoints
+    import random
+
+    from pagerank_project_spark.operators.labelprop import label_propagation
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        list({(f"v{rng.randrange(60)}", f"v{rng.randrange(60)}") for _ in range(200)}),
+        "src string, dst string",
+    )
+    base = label_propagation(spark, edges, iterations=5)
+    warm = label_propagation(spark, edges, iterations=5, warm_start=True)
+    assert {(r.id, r.label) for r in warm.labels.collect()} == {
+        (r.id, r.label) for r in base.labels.collect()
+    }
+    assert "warm_start" in warm.phase_secs and warm.phase_secs["warm_start"] >= 0
+    assert "warm_start" not in base.phase_secs
+
+
+def test_lpa_warm_start_prepared_bitwise_equal(spark, tmp_path):
+    import random
+
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.plans.prepared_graph import (
+        load_prepared_undirected,
+        prepare_undirected,
+    )
+
+    rng = random.Random(13)
+    edges = spark.createDataFrame(
+        list({(f"v{rng.randrange(50)}", f"v{rng.randrange(50)}") for _ in range(150)}),
+        "src string, dst string",
+    )
+    pdir = str(tmp_path / "pund")
+    prepare_undirected(spark, edges, pdir, buckets=4)
+    pg = load_prepared_undirected(spark, pdir)
+    base = label_propagation(spark, iterations=4, prepared_und=pg)
+    pg2 = load_prepared_undirected(spark, pdir)
+    warm = label_propagation(spark, iterations=4, prepared_und=pg2, warm_start=True)
+    assert {(r.id, r.label) for r in warm.labels.collect()} == {
+        (r.id, r.label) for r in base.labels.collect()
+    }
+    assert "warm_start" in warm.phase_secs
