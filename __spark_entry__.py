@@ -174,10 +174,29 @@ def q_pagerank_k3_prepared(spark, sf_dir):
     # repeated oracle runs in one long-lived session would otherwise
     # accumulate temp dirs and prepared_edges_* catalog tables); reuse is
     # safe because load_prepared verifies the catalog entry's location and
-    # bucket spec against this dir's manifest
-    pdir = os.path.join(
-        tempfile.gettempdir(), f"prepared-cs-{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # bucket spec against this dir's manifest. Cache key = content
+    # fingerprint of the source parquet (file list + sizes + mtimes) + the
+    # FULL sf_dir path, matching q_code_lpa_prepared's rule: a regenerated
+    # sf_dir at the same basename gets a fresh baked graph instead of
+    # silently reusing a stale one.
+    import hashlib
+
+    sig = []
+    for tbl in ("orders", "lineitem"):
+        troot = os.path.join(sf_dir, f"{tbl}.parquet")
+        paths = [troot] if os.path.isfile(troot) else sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(troot)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        for p in paths:
+            st = os.stat(p)
+            sig.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5(
+        ("|".join(sig) + "|" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:16]
+    pdir = os.path.join(tempfile.gettempdir(), f"prepared-cs-{fp}")
     if os.path.exists(f"{pdir}/manifest.json"):
         pg = load_prepared(spark, pdir)
     else:

@@ -67,6 +67,157 @@ class SCCResult:
     bfs_supersteps: int = 0
 
 
+def contract_degree1_chains(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+):
+    """Collapse every maximal chain of in-degree-1/out-degree-1 vertices —
+    the documented SCC scale lever (BENCH/BASELINE.md round 5: the two
+    coloring fixpoints are reachability-DEPTH-bound, and deep chains make
+    the tail crawl one edge-hop per sub-step; contracting a length-L chain
+    to ONE edge removes L from the depth for O(log L) pointer-doubling
+    supersteps paid once, up front).
+
+    Precondition: ``edges`` is deduplicated and self-loop-free (the degree
+    test counts rows). Chain vertices are those with exactly one in-edge
+    AND one out-edge; each maximal chain u → c1 → … → ck → w (u, w the
+    first non-chain anchors) is replaced by the single edge (u, w). A
+    chain whose successor walk never leaves the chain set is a pure
+    cycle — one whole SCC, labelled min member id directly.
+
+    Pointer doubling on the unique-successor (and unique-predecessor)
+    function: ptr(v) ← ptr(ptr(v)) reaches the anchor in O(log max-chain)
+    self-join supersteps (persist-before-checkpoint stats reset, same
+    Spark-4 lesson as the coloring loop). A min accumulator rides the
+    forward pointer so pure cycles converge to their min id in the same
+    doublings.
+
+    Returns ``(contracted, anchored, cycles, n_chain)``:
+      contracted: (src, dst) — edges among non-chain vertices plus one
+        (entry, exit) edge per anchored chain (entry==exit pairs dropped:
+        the SCC-expansion rule already classifies their members);
+      anchored:   (id, entry, exit) per anchored-chain vertex. The exact
+        re-expansion rule: id joins SCC(entry) iff the contracted run
+        gives scc(entry) == scc(exit) (the contracted edge makes
+        entry⇝exit free, so label equality ⟺ exit⇝entry ⟺ the chain
+        lies on a cycle), else id is a singleton;
+      cycles:     (id, scc) pure-cycle members, already final;
+      n_chain:    number of chain vertices removed (0 ⇒ the other returns
+        are None and ``contracted`` IS ``edges``).
+    """
+    import math
+
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    indeg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("_i"))
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_o"))
+    chain = (
+        indeg.filter(F.col("_i") == 1)
+        .join(outdeg.filter(F.col("_o") == 1).hint("shuffle_hash"), "id")
+        .select("id")
+        .repartition(nparts, "id")
+        .persist()
+    )
+    n_chain = chain.count()
+    if n_chain == 0:
+        chain.unpersist()
+        return edges, None, None, 0
+
+    def _double(state: DataFrame, with_min: bool) -> DataFrame:
+        """One pointer-doubling step; rows whose ptr is no longer a chain
+        vertex (no partner row) are clamped at their anchor."""
+        partner = state.select(
+            F.col("id").alias("ptr"),
+            F.col("ptr").alias("_p2"),
+            *([F.col("mn").alias("_m2")] if with_min else []),
+        )
+        j = state.join(partner.hint("shuffle_hash"), "ptr", "left")
+        cols = [
+            "id",
+            F.coalesce("_p2", "ptr").alias("ptr"),
+        ]
+        if with_min:
+            cols.append(F.least("mn", F.coalesce("_m2", "mn")).alias("mn"))
+        return j.select(*cols)
+
+    def _resolve(start: DataFrame, with_min: bool) -> DataFrame:
+        # cap = enough doublings that every ANCHORED chain has clamped
+        # (2^cap ≥ n_chain ≥ max chain length) and every pure cycle's min
+        # window covers the whole cycle; cycles' ptr may churn forever, so
+        # the cap — not the change count — is the loop bound there
+        cap = max(1, math.ceil(math.log2(max(2, n_chain)))) + 1
+        cur = start.repartition(nparts, "id").localCheckpoint(eager=False)
+        prev_cache = None
+        for _ in range(cap):
+            nxt = _double(cur, with_min).persist()
+            n_changed = (
+                nxt.join(
+                    cur.select("id", F.col("ptr").alias("_old")).hint("shuffle_hash"),
+                    "id",
+                )
+                .filter(F.col("ptr") != F.col("_old"))
+                .count()
+            )
+            cur = nxt.localCheckpoint(eager=False)
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = nxt
+            if n_changed == 0:
+                break
+        if prev_cache is not None:
+            # the localCheckpoint above materialized via the count's job
+            # chain on the NEXT use; keep it cached until the caller's
+            # eager materialization, then it is safe to drop lazily
+            pass
+        return cur, prev_cache
+
+    succ = edges.join(chain.hint("shuffle_hash"), edges.src == chain.id).select(
+        chain.id.alias("id"), F.col("dst").alias("ptr"), F.col("id").alias("mn")
+    )
+    fwd, fwd_cache = _resolve(succ, with_min=True)
+    pred = edges.join(chain.hint("shuffle_hash"), edges.dst == chain.id).select(
+        chain.id.alias("id"), F.col("src").alias("ptr")
+    )
+    bwd, bwd_cache = _resolve(pred, with_min=False)
+
+    # final ptr still a chain vertex ⇔ the successor walk never left the
+    # chain set ⇔ pure cycle (a walk that enters a succ-cycle must START
+    # on it: every cycle vertex has in-degree 1)
+    chain_as_ptr = chain.select(F.col("id").alias("ptr"))
+    cycles = (
+        fwd.join(chain_as_ptr.hint("shuffle_hash"), "ptr", "semi")
+        .select("id", F.col("mn").alias("scc"))
+        .localCheckpoint(eager=True)
+    )
+    anchored = (
+        fwd.join(chain_as_ptr.hint("shuffle_hash"), "ptr", "anti")
+        .select("id", F.col("ptr").alias("exit"))
+        .join(
+            bwd.join(chain_as_ptr.hint("shuffle_hash"), "ptr", "anti")
+            .select("id", F.col("ptr").alias("entry"))
+            .hint("shuffle_hash"),
+            "id",
+        )
+        .select("id", "entry", "exit")
+        .localCheckpoint(eager=True)
+    )
+    contracted = (
+        edges.join(chain.select(F.col("id").alias("src")).hint("shuffle_hash"), "src", "anti")
+        .join(chain.select(F.col("id").alias("dst")).hint("shuffle_hash"), "dst", "anti")
+        .unionByName(
+            anchored.select(F.col("entry").alias("src"), F.col("exit").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for c in (fwd_cache, bwd_cache, chain):
+        if c is not None:
+            c.unpersist()
+    return contracted, anchored, cycles, n_chain
+
+
 def strongly_connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -77,6 +228,7 @@ def strongly_connected_components(
     num_partitions: int | None = None,
     verbose: bool = False,
     substeps_per_sync: int = 4,
+    chain_contract: bool = False,
 ) -> SCCResult:
     """Per-vertex SCC labels (scc = min member id, the CC convention).
 
@@ -98,6 +250,13 @@ def strongly_connected_components(
     per sync pays both once per k. Colors only decrease (monotone), so
     "no change across a whole batch" is exactly the single-step fixpoint;
     the only cost is up to k−1 redundant tail sub-steps.
+
+    ``chain_contract``: collapse in/out-degree-1 chains up front
+    (``contract_degree1_chains``) so the coloring/backward fixpoints run
+    on a graph whose reachability depth excludes every maximal chain's
+    length — the measured cure for deep-chain sub-step crawl. Labels are
+    identical either way (pinned by test); the contraction costs
+    O(log max-chain) pointer-doubling supersteps once.
     """
     from pagerank_project_spark.operators.pagerank import build_vertices
     from pagerank_project_spark.operators.vids import assert_endpoints_covered
@@ -134,15 +293,36 @@ def strongly_connected_components(
         enc_edges = edges.select("src", "dst")
         enc_verts = verts.select("id")
 
-    active0 = (
+    base = (
         enc_edges.filter(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(nparts, "src")
         .persist()
     )
+    anchored = cycles = None
+    n_chain = 0
+    if chain_contract:
+        base.count()
+        contracted, anchored, cycles, n_chain = contract_degree1_chains(
+            spark, base, num_partitions=nparts
+        )
+        if verbose:
+            print(f"[scc] chain contraction removed {n_chain} deg-1/1 vertices", flush=True)
+    if n_chain:
+        # the loop runs on the contracted graph; chain vertices leave the
+        # vertex universe here and re-enter at the expansion step below
+        active0 = contracted.repartition(nparts, "src").persist()
+        active0.count()
+        base.unpersist()
+    else:
+        active0 = base
     active = active0
     n_active = active.count()
-    unassigned = enc_verts.repartition(nparts, "id").localCheckpoint(eager=False)
+    unassigned = enc_verts
+    if n_chain:
+        chain_ids = anchored.select("id").unionByName(cycles.select("id"))
+        unassigned = unassigned.join(chain_ids.hint("shuffle_hash"), "id", "left_anti")
+    unassigned = unassigned.repartition(nparts, "id").localCheckpoint(eager=False)
     assigned_parts: list[DataFrame] = []
     active_rev = None
     # per-superstep iterate caches (stats-reset pattern, see coloring loop);
@@ -447,6 +627,37 @@ def strongly_connected_components(
     labels = unassigned.select("id", F.col("id").alias("scc"))
     for part in assigned_parts:
         labels = labels.unionByName(part)
+    if n_chain:
+        # re-expand the contracted chains: a chain vertex joins SCC(entry)
+        # iff scc(entry) == scc(exit) — the contracted (entry, exit) edge
+        # makes entry⇝exit free, so label equality ⟺ exit⇝entry ⟺ the
+        # whole chain lies on a cycle through both anchors — else it is a
+        # singleton; pure-cycle members arrive pre-labelled min-cycle-id
+        exp = (
+            anchored.join(
+                labels.select(F.col("id").alias("entry"), F.col("scc").alias("_su")).hint("shuffle_hash"),
+                "entry",
+            )
+            .join(
+                labels.select(F.col("id").alias("exit"), F.col("scc").alias("_sw")).hint("shuffle_hash"),
+                "exit",
+            )
+            .select(
+                "id",
+                F.when(F.col("_su") == F.col("_sw"), F.col("_su"))
+                .otherwise(F.col("id"))
+                .alias("scc"),
+            )
+        )
+        labels = labels.unionByName(exp).unionByName(cycles)
+        if not hashed:
+            # a chain member can undercut its group's root id; restore the
+            # scc = min-member-id contract (the hashed path's decode step
+            # below already relabels every group to its min STRING member)
+            rep = labels.groupBy("scc").agg(F.min("id").alias("_min"))
+            labels = labels.join(rep.hint("shuffle_hash"), "scc").select(
+                "id", F.col("_min").alias("scc")
+            )
     if hashed:
         # one-time decode: hash-min group labels → min-STRING member id
         # (the CC relabel pattern), restoring the documented contract

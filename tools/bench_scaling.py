@@ -267,14 +267,17 @@ elif op in ("lpa", "lpa_hash", "lpa_prod"):
                 "sec_per_iter": med, "phase_secs": res.phase_secs, "decode_sec": decode_sec,
                 "whole_run_eps": round(n_edges * lpa_iters / dt, 1),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1)})
-elif op == "scc":
+elif op in ("scc", "scc_contract"):
     # SCC whole run (FW-Trim coloring) + min-scc decode count. The code
     # graph's reachability depth sets the coloring-superstep count —
     # recorded per phase so the N-vs-4N ratio can be attributed (trim and
     # remove are groupBy/anti-join shapes; coloring and backward-BFS are
     # the join+min-agg superstep shape the PR/LPA rows already profile).
+    # 'scc_contract' = the round-5 depth lever A/B: degree-1/1 chains
+    # collapsed up front (contract_degree1_chains), identical labels.
     from pagerank_project_spark.operators.scc import strongly_connected_components
-    res = strongly_connected_components(spark, edges, max_rounds=40)
+    res = strongly_connected_components(spark, edges, max_rounds=40,
+                                        chain_contract=(op == "scc_contract"))
     t_dec = time.time()
     n_scc = res.labels.select("scc").distinct().count()
     decode_sec = round(time.time() - t_dec, 2)
