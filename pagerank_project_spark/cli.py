@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpa_frontier", action="store_true",
                    help="LPA: exact frontier gather + fixpoint early stop "
                         "(run-toward-convergence shape)")
+    p.add_argument("--scc_chain_contract", action="store_true",
+                   help="SCC: collapse in/out-degree-1 chains up front (pointer "
+                        "doubling) — the depth lever for path-shaped graphs; "
+                        "labels identical either way")
     p.add_argument("--mode", default="reference", choices=["reference", "l2l2", "standard", "l2l1"])
     p.add_argument("--strategy", default="relational", choices=["relational", "csr"])
     p.add_argument("--num_partitions", type=int, default=None)
@@ -269,7 +273,8 @@ def main(argv: list[str] | None = None) -> int:
         from pagerank_project_spark.operators.scc import strongly_connected_components
 
         res = strongly_connected_components(spark, edges, vertices=vertices,
-                                            max_rounds=args.max_iterations)
+                                            max_rounds=args.max_iterations,
+                                            chain_contract=args.scc_chain_contract)
         out = res.labels
         if not args.output:
             for r in (out.groupBy("scc").count().orderBy(F.desc("count"), F.asc("scc"))
