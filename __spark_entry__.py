@@ -609,6 +609,8 @@ def q_code_lpa_prepared(spark, sf_dir):
     # bytes + mtime) + the FULL sf_dir path — a regenerated fixture at the
     # same basename, or a same-named fixture at another path, gets a fresh
     # baked graph instead of silently reusing a stale one
+    from pagerank_project_spark.plans.prepared_graph import UND_VERSION
+
     fix = ensure_fixture(_sf_of(sf_dir))
     man = f"{fix}/source_table/_manifest.json"
     with open(man, "rb") as fh:
@@ -616,6 +618,7 @@ def q_code_lpa_prepared(spark, sf_dir):
             fh.read()
             + str(os.path.getmtime(man)).encode()
             + os.path.abspath(sf_dir).encode()
+            + str(UND_VERSION).encode()  # artifact-format bumps invalidate the cache
         ).hexdigest()[:16]
     pdir = os.path.join(tempfile.gettempdir(), f"prepared-und-code-{fp}")
     if os.path.exists(f"{pdir}/manifest.json"):

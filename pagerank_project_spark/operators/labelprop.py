@@ -18,6 +18,13 @@ Physical design (same substrate as PageRank/CC):
   single-task global sort) so long-vid comparisons ARE string-order
   comparisons — the min-label tie-break stays oracle-exact while the
   loop shuffles only 8-byte keys.
+- when the dense sorted vids fit int32 (n < vids.INT_VID_LIMIT) the
+  symmetric cache and the whole loop state narrow to 4-byte vids — an
+  order-preserving cast (labels bitwise unchanged, pinned by test) that
+  halves the cache's DRAM stream and every loop shuffle's key bytes; the
+  cache stream is the measured late-superstep bandwidth cap at sf16
+  (BENCH/BASELINE.md). Above the limit (or in hash vid_mode) everything
+  stays long.
 - per superstep: neighbor-label rows ∪ own-label keeper rows (count 0,
   so isolated vertices keep their label and occupied vertices never beat
   a real neighbor count) → groupBy(vid, lbl).sum → argmax via one Window
@@ -220,6 +227,19 @@ def label_propagation(
             .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
             .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
         )
+    if not hashed:
+        # dense sorted vids are ranks 1..n — when n fits int32, narrow the
+        # edge pairs BEFORE the symmetrize: the distinct shuffle, the
+        # long-lived symmetric cache (the engine's largest per-superstep
+        # DRAM stream — the measured late-superstep bandwidth cap,
+        # BENCH/BASELINE.md) and the whole loop state then carry 4-byte
+        # vids. Order-preserving cast → labels bitwise equal (pinned by
+        # test); xxhash64 vids never narrow.
+        from pagerank_project_spark.operators.vids import INT_VID_LIMIT
+
+        if (vmap.agg(F.max("vid")).first()[0] or 0) < INT_VID_LIMIT:
+            enc = enc.select(F.col("src").cast("int").alias("src"),
+                             F.col("dst").cast("int").alias("dst"))
     # Symmetrize AFTER the encode, canonically, on LONG pairs (the CC
     # round-3 lesson): the old string-side undirected_edges() shuffled the
     # symmetrized multiset (2× the rows at ~5× the bytes) through its
@@ -250,8 +270,9 @@ def _pilot_superstep(und: DataFrame, vmap: DataFrame, nparts: int) -> None:
     shape over a 1%-sampled slice (see label_propagation docstring). The
     result is discarded; nothing here feeds the loop."""
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
+    vid_t = und.schema["src"].dataType.simpleString()  # match the loop's codegen shapes
     labels = (
-        vmap.select("vid", F.col("vid").alias("lbl"))
+        vmap.select(F.col("vid").cast(vid_t).alias("vid"), F.col("vid").cast(vid_t).alias("lbl"))
         .sample(fraction=0.01, seed=7)
         .repartition(nparts, "vid")
         .localCheckpoint(eager=False)
@@ -286,6 +307,10 @@ def _run_loop(
     phases: dict,
     warm_start: bool = False,
 ) -> LPAResult:
+    # the label state carries the CACHE's vid dtype (int when the dense
+    # sorted vids were narrowed, long otherwise) so every loop join/shuffle
+    # stays narrow and exchange-compatible with the cache's partitioning
+    vid_t = und.schema["src"].dataType.simpleString()
     start_iter = 0
     if checkpoint_store is not None and checkpoint_store.latest_iteration() is not None:
         # resume: re-encode the checkpointed (id, label) strings → (vid, lbl)
@@ -294,10 +319,12 @@ def _run_loop(
         labels = (
             st.join(vmap.select("id", "vid"), "id")
             .join(vmap.select(F.col("id").alias("label"), F.col("vid").alias("lbl")), "label")
-            .select("vid", "lbl")
+            .select(F.col("vid").cast(vid_t).alias("vid"), F.col("lbl").cast(vid_t).alias("lbl"))
         )
     else:
-        labels = vmap.select("vid", F.col("vid").alias("lbl"))
+        labels = vmap.select(
+            F.col("vid").cast(vid_t).alias("vid"), F.col("vid").cast(vid_t).alias("lbl")
+        )
     labels = labels.repartition(nparts, "vid").localCheckpoint(eager=False)
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
@@ -454,7 +481,12 @@ def _run_loop(
 
 def _decode(labels: DataFrame, vmap: DataFrame) -> DataFrame:
     # shuffle_hash: an SMJ here would sort both |V|-sized sides twice —
-    # hash joins keep the decode sort-free (the LPA whole-run tail)
+    # hash joins keep the decode sort-free (the LPA whole-run tail).
+    # Widen narrowed int vids back to the vmap's long explicitly (the join
+    # would coerce anyway; explicit keeps the shuffle keys unambiguous).
+    labels = labels.select(
+        F.col("vid").cast("long").alias("vid"), F.col("lbl").cast("long").alias("lbl")
+    )
     out = (
         labels.join(vmap.select("vid", "id").hint("shuffle_hash"), "vid")
         .join(

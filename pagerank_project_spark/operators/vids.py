@@ -40,6 +40,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+# string_sorted_vids assigns DENSE ranks 1..n, so whenever n fits int32 a
+# propagation loop's long-lived edge cache and label state can store 4-byte
+# vids — an order-preserving narrowing (labels stay bitwise identical) that
+# halves the per-superstep DRAM stream and shuffle bytes. Above the limit
+# everything stays bigint: the 10^12-vertex deployment keeps working, it
+# just pays the wide keys. (xxhash64 vids never narrow.)
+INT_VID_LIMIT = 2_147_483_000
+
 
 def hashed_vids(verts: DataFrame, id_col: str = "id") -> DataFrame:
     """(id, …) → + vid = xxhash64(id). Caller must collision-check."""

@@ -171,13 +171,13 @@ def load_prepared(spark: SparkSession, path: str) -> PreparedGraph:
 # Prepared UNDIRECTED graph (LPA / propagation-mode consumers)
 # --------------------------------------------------------------------------
 
-UND_VERSION = 1
+UND_VERSION = 2
 
 
 @dataclass
 class PreparedUndirected:
     vmap: DataFrame  # (id string, vid long) — STRING-SORTED vids
-    und: DataFrame  # (src long, dst long) symmetric distinct, bucketed by src
+    und: DataFrame  # (src, dst) symmetric distinct, bucketed by src; int when n < INT_VID_LIMIT else long
     n: int
     m_und: int  # symmetric row count (2x the canonical pair count)
     buckets: int
@@ -220,6 +220,24 @@ def prepare_undirected(
         .join(vmap.select(F.col("id").alias("dst"), F.col("vid").alias("_t")), "dst")
         .select(F.col("_s").alias("src"), F.col("_t").alias("dst"))
     )
+    # narrow the vids BEFORE the canonical distinct: the symmetrize shuffle,
+    # the bucketed files AND the loop's persisted cache all carry 4-byte keys
+    # when the dense sorted vids fit int32 (order-preserving cast — labels
+    # stay bitwise the long path's; pinned by test)
+    from pagerank_project_spark.operators.vids import INT_VID_LIMIT
+
+    # sorted vids are DENSE ranks 1..n, so whenever n fits int32 the symmetric
+    # cache (and the whole LPA loop state) stores 4-byte vids — the cache is
+    # the engine's largest per-superstep DRAM stream (131M rows × 12
+    # supersteps at sf16; BENCH/BASELINE.md), and halving its bytes halves
+    # exactly the memory-bandwidth-bound term the round-4/5 scaling analysis
+    # measured as the whole-run cap. Above the limit the artifact falls back
+    # to bigint — the 10^12-vertex deployment keeps working, it just pays the
+    # wide keys.
+    dtype = "int" if n < INT_VID_LIMIT else "bigint"
+    if dtype == "int":
+        enc = enc.select(F.col("src").cast("int").alias("src"),
+                         F.col("dst").cast("int").alias("dst"))
     canon = (
         enc.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -235,8 +253,11 @@ def prepare_undirected(
     (
         und.repartition(buckets, "src")
         .write.format("parquet")
+        # sort by (src, dst) — src gives the scan's sorted-output guarantee,
+        # dst makes neighbor lists ascending so the in-memory columnar
+        # cache's delta encoding compresses the dst column too
+        .sortBy("src", "dst")
         .bucketBy(buckets, "src")
-        .sortBy("src")
         .option("path", f"{path}/edges")
         .mode("overwrite")
         .saveAsTable(tbl)
@@ -244,7 +265,7 @@ def prepare_undirected(
     m_und = spark.table(tbl).count()
     manifest = {
         "version": UND_VERSION, "kind": "undirected_sorted",
-        "n": n, "m_und": m_und, "buckets": buckets, "table": tbl,
+        "n": n, "m_und": m_und, "buckets": buckets, "table": tbl, "dtype": dtype,
     }
     tmp = f"{path}/manifest.json.tmp"
     with open(tmp, "w") as f:
@@ -257,17 +278,22 @@ def prepare_undirected(
 def load_prepared_undirected(spark: SparkSession, path: str) -> PreparedUndirected:
     with open(f"{path}/manifest.json") as f:
         manifest = json.load(f)
-    if manifest.get("kind") != "undirected_sorted" or manifest.get("version") != UND_VERSION:
+    if manifest.get("kind") != "undirected_sorted" or manifest.get("version") not in (1, UND_VERSION):
         raise ValueError(
-            f"prepared dir at {path} is not an undirected_sorted v{UND_VERSION} artifact"
+            f"prepared dir at {path} is not an undirected_sorted v1/v{UND_VERSION} artifact"
         )
     tbl, buckets = manifest["table"], manifest["buckets"]
+    # v1 artifacts predate the int32 narrowing (and are bucket-sorted by src
+    # only) — they keep reading as bigint
+    dtype = manifest.get("dtype", "bigint")
+    sql_t = "INT" if dtype == "int" else "BIGINT"
+    sort_spec = "src, dst" if manifest.get("version", 1) >= 2 else "src"
     if spark.catalog.tableExists(tbl) and not _catalog_entry_matches(spark, tbl, path, buckets):
         spark.sql(f"DROP TABLE {tbl}")
     if not spark.catalog.tableExists(tbl):
         spark.sql(
-            f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT) USING PARQUET "
-            f"CLUSTERED BY (src) SORTED BY (src) INTO {buckets} BUCKETS "
+            f"CREATE TABLE {tbl} (src {sql_t}, dst {sql_t}) USING PARQUET "
+            f"CLUSTERED BY (src) SORTED BY ({sort_spec}) INTO {buckets} BUCKETS "
             f"LOCATION '{path}/edges'"
         )
     return PreparedUndirected(

@@ -193,3 +193,45 @@ def test_lpa_warm_start_prepared_bitwise_equal(spark, tmp_path):
         (r.id, r.label) for r in base.labels.collect()
     }
     assert "warm_start" in warm.phase_secs
+
+
+def test_lpa_int_vid_narrowing_bitwise_and_schema(spark, tmp_path, monkeypatch):
+    """Dense sorted vids < INT_VID_LIMIT narrow the symmetric cache and the
+    loop state to int32 (operators/labelprop.py, plans/prepared_graph.py v2).
+    The cast is order-preserving, so labels must be BITWISE the wide-long
+    path's on direct, prepared, and cross (int direct vs long direct) runs."""
+    import random
+
+    import pagerank_project_spark.operators.vids as vids_mod
+    from pagerank_project_spark.operators.labelprop import label_propagation
+    from pagerank_project_spark.plans.prepared_graph import (
+        load_prepared_undirected,
+        prepare_undirected,
+    )
+
+    rng = random.Random(29)
+    edges = spark.createDataFrame(
+        list({(f"v{rng.randrange(70)}", f"v{rng.randrange(70)}") for _ in range(250)}),
+        "src string, dst string",
+    )
+    narrow = label_propagation(spark, edges, iterations=5)
+
+    pdir = str(tmp_path / "pund_int")
+    pg = prepare_undirected(spark, edges, pdir, buckets=4)
+    assert pg.und.schema["src"].dataType.simpleString() == "int"
+    assert pg.und.schema["dst"].dataType.simpleString() == "int"
+    prepped = label_propagation(spark, iterations=5, prepared_und=pg)
+
+    # force the wide path (limit 0 -> nothing fits int32)
+    monkeypatch.setattr(vids_mod, "INT_VID_LIMIT", 0)
+    wide = label_propagation(spark, edges, iterations=5)
+    pdir_w = str(tmp_path / "pund_long")
+    pg_w = prepare_undirected(spark, edges, pdir_w, buckets=4)
+    assert pg_w.und.schema["src"].dataType.simpleString() == "bigint"
+    prepped_w = label_propagation(spark, iterations=5, prepared_und=pg_w)
+
+    want = {(r.id, r.label) for r in wide.labels.collect()}
+    for res in (narrow, prepped, prepped_w):
+        assert {(r.id, r.label) for r in res.labels.collect()} == want
+    # decode always widens back to the string ids' long vmap
+    assert dict(narrow.labels.dtypes) == {"id": "string", "label": "string"}
