@@ -27,6 +27,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # window fingerprint BEFORE spark starts: the sandbox's aggregate DRAM
+    # bandwidth fluctuates >5x between quiet and noisy-neighbor windows
+    # (tools/membw.py), and every memory-bound query tracks that ceiling —
+    # the probe lets a round-over-round BENCH diff distinguish a code
+    # regression from a degraded measurement window.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.membw import probe
+
+        membw = probe(ways=(1, 16))
+    except Exception:
+        membw = {}
+
     from __spark_entry__ import (
         _sf_of,
         q_degree_distribution,
@@ -239,6 +252,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_vertices": n_verts,
                 "n_edges": n_edges,
+                "membw_gbps": membw,
                 **extra,
             }
         )

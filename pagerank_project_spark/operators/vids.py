@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 # halves the per-superstep DRAM stream and shuffle bytes. Above the limit
 # everything stays bigint: the 10^12-vertex deployment keeps working, it
 # just pays the wide keys. (xxhash64 vids never narrow.)
-INT_VID_LIMIT = 2_147_483_000
+# SPARK_GRAFT_INT_VID_LIMIT overrides (0 forces wide keys — the measured
+# A/B lever and the ops escape hatch).
+import os as _os
+
+INT_VID_LIMIT = int(_os.environ.get("SPARK_GRAFT_INT_VID_LIMIT", 2_147_483_000))
 
 
 def hashed_vids(verts: DataFrame, id_col: str = "id") -> DataFrame:
