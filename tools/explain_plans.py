@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window, functions as F  # noqa: E402
 
 
 def fmt(df) -> str:
@@ -347,6 +347,62 @@ a broadcast — web-scale boilerplate vocabulary); reassembly's
 `array_sort` runs inside the per-doc aggregate, so no global sort
 exists anywhere in the plan.""",
         fmt(corpus_line_dedup(ld_docs)),
+    ))
+
+    # --- LPA full-gather superstep (int32 vids, WindowGroupLimit argmax) ---
+    NL = 100_000
+    und = (
+        spark.range(0, 6 * NL)
+        .select(
+            (F.col("id") % NL).cast("int").alias("src"),
+            ((F.col("id") * 11 + 3) % NL).cast("int").alias("dst"),
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    und.count()
+    lp_labels = (
+        spark.range(0, NL)
+        .select(F.col("id").cast("int").alias("vid"), F.col("id").cast("int").alias("lbl"))
+        .repartition(8, "vid")
+        .localCheckpoint(eager=False)
+    )
+    lp_labels.count()
+    lp_w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("lbl"))
+    lp_nbr = (
+        und.join(
+            lp_labels.select(F.col("vid").alias("_sv"), "lbl").hint("shuffle_hash"),
+            und.src == F.col("_sv"),
+        )
+        .select(F.col("dst").alias("vid"), "lbl", F.lit(1).alias("c"))
+    )
+    lp_keeper = lp_labels.select("vid", "lbl", F.lit(0).alias("c"))
+    lp_freq = lp_nbr.unionByName(lp_keeper).groupBy("vid", "lbl").agg(F.sum("c").alias("cnt"))
+    lp_winner = (
+        lp_freq.withColumn("_rn", F.row_number().over(lp_w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "lbl")
+    )
+    sections.append((
+        "LPA full-gather superstep (int32 vids, partial WindowGroupLimit argmax)",
+        """What to verify:
+- `ShuffledHashJoin` with the LABEL side as build — un-hinted, Catalyst
+  either auto-broadcasts the checkpointed |V|-row label vector
+  (driver-serial build per superstep, the round-1 pagerank bug) or falls
+  to an SMJ that re-sorts the cached symmetric edge multiset every
+  superstep.
+- NO `Exchange` above the symmetric-cache `InMemoryTableScan` — the
+  persisted src-hash layout satisfies the join; only label rows move.
+- ONE `Exchange` for the union+`groupBy(vid,lbl).sum` with a partial
+  `HashAggregate` below it (map-side combine).
+- `WindowGroupLimit ... Partial` BELOW the window's exchange: Spark 4
+  compiles `row_number + (rn = 1)` so at most ONE candidate row per
+  (vid, map-partition) crosses the wire (the packed-bigint HashAggregate
+  rewrite was A/B-measured slower — see BENCH/BASELINE.md).
+- `vid`/`lbl` columns are `int` end-to-end (the dense sorted vids fit
+  int32, so the cache stream and every shuffle carry 4-byte keys; long
+  above the limit).""",
+        fmt(lp_winner),
     ))
 
     with open("/root/repo/docs/PLANS.md", "w") as f:
