@@ -326,7 +326,20 @@ to a per-superstep SortAggregate (the memory-bandwidth-bound shape the
 engine avoids everywhere else), and that evidence drove the encode.
 Labels relabel to min-STRING member id once at decode. The backward
 BFS uses a per-round dst-partitioned reversed cache so its joins also
-avoid re-exchanging the edges.""",
+avoid re-exchanging the edges.
+
+Round 5: the fixpoint is pointer-jumped — each sync alternates the
+edge-push below with a color→color self-join (compose reach through the
+current labeling) of the SAME physical shape: hinted ShuffledHashJoin
+into the one union + map-side-combined min HashAggregate. Because the
+jump joins the iterate with ITSELF, each iterate is persisted and
+materialized by the convergence count BEFORE localCheckpoint — Spark 4
+carries the origin plan's estimated sizeInBytes onto the checkpointed
+LogicalRDD, and a self-join chain otherwise SQUARES that estimate per
+superstep until driver-side stats calls multiply million-digit
+BigIntegers (see BENCH/BASELINE.md "SCC (round 5)"). Sub-steps chain
+lazily 4-per-sync, so the plan below appears nested up to 4 deep per
+materialized job; the per-join shape is unchanged.""",
         fmt(scc_step),
     ))
 
