@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpa_frontier", action="store_true",
                    help="LPA: exact frontier gather + fixpoint early stop "
                         "(run-toward-convergence shape)")
+    p.add_argument("--lpa_warm_start", action="store_true",
+                   help="LPA: one throwaway 1%%-sampled pilot superstep before "
+                        "superstep 1 so the JIT/codegen session tail is paid at "
+                        "~1%% volume (labels bitwise unchanged; recommended for "
+                        "production-length runs on large caches)")
     p.add_argument("--scc_chain_contract", action="store_true",
                    help="SCC: collapse in/out-degree-1 chains up front (pointer "
                         "doubling) — the depth lever for path-shaped graphs; "
@@ -71,9 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, help="write result parquet here instead of printing top-k")
     p.add_argument("--prepared_dir", default=None,
                    help="prepared-graph dir (plans.prepared_graph): with --prepare, build it "
-                        "from --data; without, run pagerank straight from it (no --data needed)")
+                        "from --data; without, run --algorithm pagerank (directed artifact) or "
+                        "lpa (undirected artifact) straight from it (no --data needed)")
     p.add_argument("--prepare", action="store_true",
-                   help="build the prepared graph at --prepared_dir from --data and exit")
+                   help="build the prepared graph at --prepared_dir from --data and exit "
+                        "(--algorithm lpa prepares the UNDIRECTED artifact; size "
+                        "--num_partitions at the target cluster's task slots — the "
+                        "slots-bucketing deployment rule, BENCH/BASELINE.md)")
     return p
 
 
@@ -92,8 +101,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="pagerank_project_spark", cores=args.cores)
 
     use_prepared = args.prepared_dir and not args.prepare
-    if use_prepared and args.algorithm != "pagerank":
-        print("--prepared_dir currently serves --algorithm pagerank", file=sys.stderr)
+    if use_prepared and args.algorithm not in ("pagerank", "lpa"):
+        print("--prepared_dir currently serves --algorithm pagerank and lpa", file=sys.stderr)
         return 2
     if use_prepared and args.filter_ratio is not None:
         # never mask the engine's own guard: the spam filter is baked into
@@ -120,11 +129,19 @@ def main(argv: list[str] | None = None) -> int:
         edges, vertices = extract_edges(files), vertices_from_files(files)
 
     if args.prepare:
-        from pagerank_project_spark.plans.prepared_graph import prepare_graph
-
         if not args.prepared_dir:
             print("--prepare needs --prepared_dir", file=sys.stderr)
             return 2
+        if args.algorithm == "lpa":
+            from pagerank_project_spark.plans.prepared_graph import prepare_undirected
+
+            pu = prepare_undirected(spark, edges, args.prepared_dir, vertices=vertices,
+                                    buckets=args.num_partitions)
+            print(json.dumps({"prepared": args.prepared_dir, "kind": "undirected",
+                              "n_vertices": pu.n, "m_und": pu.m_und, "buckets": pu.buckets}))
+            return 0
+        from pagerank_project_spark.plans.prepared_graph import prepare_graph
+
         pg = prepare_graph(spark, edges, args.prepared_dir, vertices=vertices,
                            buckets=args.num_partitions, filter_ratio=args.filter_ratio)
         print(json.dumps({"prepared": args.prepared_dir, "n_vertices": pg.n,
@@ -176,9 +193,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algorithm == "lpa":
         from pagerank_project_spark.operators.labelprop import label_propagation
 
-        res = label_propagation(spark, edges, vertices=vertices,
-                                iterations=args.lpa_iterations, checkpoint_store=store,
-                                frontier=args.lpa_frontier)
+        if use_prepared:
+            from pagerank_project_spark.plans.prepared_graph import load_prepared_undirected
+
+            res = label_propagation(spark, iterations=args.lpa_iterations,
+                                    checkpoint_store=store, frontier=args.lpa_frontier,
+                                    prepared_und=load_prepared_undirected(spark, args.prepared_dir),
+                                    num_partitions=args.num_partitions,
+                                    warm_start=args.lpa_warm_start)
+        else:
+            res = label_propagation(spark, edges, vertices=vertices,
+                                    iterations=args.lpa_iterations, checkpoint_store=store,
+                                    frontier=args.lpa_frontier,
+                                    warm_start=args.lpa_warm_start)
         out = res.labels
         if args.lpa_frontier:
             print(json.dumps({"iterations": res.iterations,

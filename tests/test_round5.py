@@ -235,3 +235,31 @@ def test_lpa_int_vid_narrowing_bitwise_and_schema(spark, tmp_path, monkeypatch):
         assert {(r.id, r.label) for r in res.labels.collect()} == want
     # decode always widens back to the string ids' long vmap
     assert dict(narrow.labels.dtypes) == {"id": "string", "label": "string"}
+
+
+def test_cli_lpa_prepare_and_run_from_artifact(spark, tmp_path, capsys):
+    """Round-5 CLI surface: --algorithm lpa --prepare bakes the undirected
+    artifact (slots-bucketing deployment rule), and --prepared_dir runs the
+    loop from it (with --lpa_warm_start) producing labels identical to the
+    direct --data run."""
+    import json as _json
+
+    from pagerank_project_spark.cli import main
+
+    data = "/root/reference/Data/small.csv.gz"
+    pdir = str(tmp_path / "pu")
+    rc = main(["--data", data, "--algorithm", "lpa", "--prepare",
+               "--prepared_dir", pdir, "--num_partitions", "4", "--cores", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    meta = _json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+    assert meta["kind"] == "undirected" and meta["buckets"] == 4
+
+    o_prep, o_direct = str(tmp_path / "o1"), str(tmp_path / "o2")
+    assert main(["--prepared_dir", pdir, "--algorithm", "lpa", "--lpa_iterations", "4",
+                 "--lpa_warm_start", "--output", o_prep, "--cores", "4"]) == 0
+    assert main(["--data", data, "--algorithm", "lpa", "--lpa_iterations", "4",
+                 "--output", o_direct, "--cores", "4"]) == 0
+    got = sorted(map(tuple, spark.read.parquet(o_prep).collect()))
+    want = sorted(map(tuple, spark.read.parquet(o_direct).collect()))
+    assert got == want and len(got) == 6
